@@ -8,15 +8,21 @@ chip).  Set TPUJPEG_TEST_TPU=1 to run against the real backend instead.
 import os
 
 if not os.environ.get("TPUJPEG_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    # NB: a sitecustomize on this machine force-appends the TPU platform to
+    # JAX_PLATFORMS, so env vars are not enough — use jax.config directly.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
+
+# Persistent compilation cache: this VM has one CPU core and XLA compile
+# times are both slow and high-variance; caching makes reruns cheap.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpujpeg-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 

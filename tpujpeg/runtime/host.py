@@ -1,0 +1,46 @@
+"""Host entropy-decode runtime dispatch.
+
+Selects the fastest available host-side Huffman decoder:
+  1. the native C++ runtime (tpujpeg/runtime/native/, loaded via ctypes), or
+  2. the NumPy oracle decoder as fallback.
+
+This mirrors the reference's cudaH split (CPU Huffman feeding device
+kernels, legacy_versions/cudaH-implementation/src/parser.cu:281-311), which
+was its fastest per-image configuration by ~40x over GPU-serial Huffman
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.parser import JpegImage
+from ..oracle import decoder as oracle
+
+_native = None
+_native_checked = False
+
+
+def _load_native():
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from .native import lib as native_lib
+
+            _native = native_lib.load()
+        except Exception:
+            _native = None
+    return _native
+
+
+def entropy_decode(img: JpegImage) -> np.ndarray:
+    """Huffman-decode the scan -> int32 [n_blocks, 64] zigzag coefficients."""
+    native = _load_native()
+    if native is not None:
+        return native.entropy_decode(img)
+    return oracle.entropy_decode(img)
+
+
+def backend_name() -> str:
+    return "native-cpp" if _load_native() is not None else "numpy-oracle"
