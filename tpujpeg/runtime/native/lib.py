@@ -1,0 +1,145 @@
+"""ctypes bindings for the native host entropy decoder.
+
+The native layer plays the role of the reference's host-side C++ runtime
+(Stream/HuffmanTree/extract, cuda-decoder/src/parser.cu:360-471 and the
+cudaH host Huffman decode, legacy_versions/cudaH-implementation/src/
+parser.cu:281-311).  ctypes releases the GIL for the duration of each call,
+so the batch engine gets real multi-core parallelism from a plain Python
+thread pool — no marshaling layer needed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+
+import numpy as np
+
+from ...errors import JpegError
+from ...io.parser import JpegImage
+from . import build
+
+# Must cover the worst-case bit-buffer overrun between the decoder's
+# per-block truncation checks (~210 bytes; see entropy.cpp).
+_SCAN_PAD = 512
+
+_ERRORS = {
+    -1: "invalid Huffman code in scan",
+    -2: "stream ended early: missing restart segment",
+    -3: "truncated scan: bit reader ran past end of data",
+}
+
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+class NativeRuntime:
+    """Wraps _tpjnative.so. One instance per process; calls are thread-safe
+    (the native code is stateless; LUT cache guarded by a lock)."""
+
+    def __init__(self, dll: ctypes.CDLL):
+        self._dll = dll
+        fn = dll.tpj_entropy_decode
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [
+            _u8p, ctypes.c_int64,              # scan, scan_len
+            _i64p, ctypes.c_int64,             # seg_offsets, n_segments
+            ctypes.c_int64, ctypes.c_int64,    # ri, n_mcus
+            _i32p, ctypes.c_int64,             # pattern, bpm
+            _i32p, _i32p, ctypes.c_int64,      # dc_rows, ac_rows, n_comp
+            _u8p, _u8p,                        # lut_sym, lut_len
+            _i32p,                             # out
+        ]
+        self._decode = fn
+        self._lut_cache: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+        self._lut_lock = threading.Lock()
+
+    # -- LUTs ---------------------------------------------------------------
+
+    def _lut_for(self, table) -> tuple[np.ndarray, np.ndarray]:
+        key = table.counts.tobytes() + table.symbols.tobytes()
+        with self._lut_lock:
+            hit = self._lut_cache.get(key)
+        if hit is not None:
+            return hit
+        lut = table.build_lut(16)
+        with self._lut_lock:
+            self._lut_cache[key] = lut
+        return lut
+
+    def _pack_luts(self, img: JpegImage):
+        """Stack the scan's Huffman LUTs into [n_luts, 65536] arrays and map
+        each component to its DC/AC row."""
+        rows: dict[int, int] = {}
+        syms: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+
+        def row_of(header: int) -> int:
+            if header not in rows:
+                table = img.huffman.get(header)
+                if table is None:
+                    raise JpegError(f"scan references missing DHT table {header:#x}")
+                s, l = self._lut_for(table)
+                rows[header] = len(syms)
+                syms.append(s)
+                lens.append(l)
+            return rows[header]
+
+        dc_rows = np.array(
+            [row_of(c.dc_table_id) for c in img.components], np.int32
+        )
+        ac_rows = np.array(
+            [row_of(0x10 | c.ac_table_id) for c in img.components], np.int32
+        )
+        return (
+            np.ascontiguousarray(np.concatenate(syms)),
+            np.ascontiguousarray(np.concatenate(lens)),
+            dc_rows,
+            ac_rows,
+        )
+
+    # -- decode -------------------------------------------------------------
+
+    def entropy_decode(self, img: JpegImage) -> np.ndarray:
+        """Huffman-decode the scan -> int32 [n_blocks, 64] zigzag coefficients.
+
+        Bit-identical to tpujpeg.oracle.decoder.entropy_decode (enforced by
+        tests/test_native.py).
+        """
+        lut_sym, lut_len, dc_rows, ac_rows = self._pack_luts(img)
+        scan = np.empty(img.scan_data.size + _SCAN_PAD, np.uint8)
+        scan[: img.scan_data.size] = img.scan_data
+        scan[img.scan_data.size :] = 0
+        pattern = np.asarray(img.mcu_block_pattern(), np.int32)
+        segs = np.ascontiguousarray(img.segment_offsets, dtype=np.int64)
+        out = np.empty((img.n_mcus * img.blocks_per_mcu, 64), np.int32)
+        rc = self._decode(
+            scan, img.scan_data.size,
+            segs, segs.size,
+            img.restart_interval, img.n_mcus,
+            pattern, pattern.size,
+            dc_rows, ac_rows, len(img.components),
+            lut_sym, lut_len,
+            out.reshape(-1),
+        )
+        if rc != 0:
+            raise JpegError(_ERRORS.get(rc, f"native decode failed ({rc})"))
+        return out
+
+
+_runtime: NativeRuntime | None = None
+_load_lock = threading.Lock()
+
+
+def load() -> NativeRuntime:
+    """Build (if needed) and load the native runtime. Raises on failure."""
+    global _runtime
+    with _load_lock:
+        if _runtime is None:
+            path = build.build()
+            dll = ctypes.CDLL(str(path))
+            if dll.tpj_version() != 1:
+                raise RuntimeError("native ABI version mismatch")
+            _runtime = NativeRuntime(dll)
+    return _runtime
