@@ -134,6 +134,10 @@ def parse_dht_payload(payload: bytes | np.ndarray) -> dict[int, HuffmanTable]:
         symbols = data[pos + 17 : pos + 17 + n]
         if symbols.size != n:
             raise ValueError("truncated DHT symbol list")
+        if table_class == 0 and n and int(symbols.max()) > 15:
+            # DC symbols are EXTEND bit counts; >15 would make decoders read
+            # more magnitude bits than any peek window holds (T.81 F.1.2.1).
+            raise ValueError("DC Huffman table defines size symbols > 15")
         tables[header] = HuffmanTable(counts=counts, symbols=symbols)
         pos += 17 + n
     return tables

@@ -229,7 +229,10 @@ def parse(data: bytes | bytearray | np.ndarray, path: str | None = None) -> Jpeg
             if height == 0:
                 raise JpegError("DNL-deferred height is not supported")
         elif marker == M_DHT:
-            huffman.update(parse_dht_payload(payload))
+            try:
+                huffman.update(parse_dht_payload(payload))
+            except ValueError as e:
+                raise JpegError(f"bad DHT segment: {e}") from e
         elif marker == M_DRI:
             restart_interval = _u16(payload, 0)
         elif marker == M_DNL:
