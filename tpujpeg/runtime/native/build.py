@@ -27,6 +27,7 @@ CXXFLAGS = [
     "-shared",
     "-fno-exceptions",
     "-fno-rtti",
+    "-fopenmp",
     "-Wall",
     "-Werror",
 ]

@@ -30,6 +30,7 @@ _ERRORS = {
 }
 
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
@@ -48,42 +49,42 @@ class NativeRuntime:
             ctypes.c_int64, ctypes.c_int64,    # ri, n_mcus
             _i32p, ctypes.c_int64,             # pattern, bpm
             _i32p, _i32p, ctypes.c_int64,      # dc_rows, ac_rows, n_comp
-            _u8p, _u8p,                        # lut_sym, lut_len
+            _u16p,                             # luts, packed (len<<8)|sym
             _i32p,                             # out
         ]
         self._decode = fn
-        self._lut_cache: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+        self._lut_cache: dict[bytes, np.ndarray] = {}
         self._lut_lock = threading.Lock()
 
     # -- LUTs ---------------------------------------------------------------
 
-    def _lut_for(self, table) -> tuple[np.ndarray, np.ndarray]:
+    def _lut_for(self, table) -> np.ndarray:
         key = table.counts.tobytes() + table.symbols.tobytes()
         with self._lut_lock:
             hit = self._lut_cache.get(key)
         if hit is not None:
             return hit
-        lut = table.build_lut(16)
+        sym, length = table.build_lut(16)
+        packed = (
+            (length.astype(np.uint16) << 8) | sym.astype(np.uint16)
+        )
         with self._lut_lock:
-            self._lut_cache[key] = lut
-        return lut
+            self._lut_cache[key] = packed
+        return packed
 
     def _pack_luts(self, img: JpegImage):
         """Stack the scan's Huffman LUTs into [n_luts, 65536] arrays and map
         each component to its DC/AC row."""
         rows: dict[int, int] = {}
-        syms: list[np.ndarray] = []
-        lens: list[np.ndarray] = []
+        packed: list[np.ndarray] = []
 
         def row_of(header: int) -> int:
             if header not in rows:
                 table = img.huffman.get(header)
                 if table is None:
                     raise JpegError(f"scan references missing DHT table {header:#x}")
-                s, l = self._lut_for(table)
-                rows[header] = len(syms)
-                syms.append(s)
-                lens.append(l)
+                rows[header] = len(packed)
+                packed.append(self._lut_for(table))
             return rows[header]
 
         dc_rows = np.array(
@@ -92,12 +93,7 @@ class NativeRuntime:
         ac_rows = np.array(
             [row_of(0x10 | c.ac_table_id) for c in img.components], np.int32
         )
-        return (
-            np.ascontiguousarray(np.concatenate(syms)),
-            np.ascontiguousarray(np.concatenate(lens)),
-            dc_rows,
-            ac_rows,
-        )
+        return np.ascontiguousarray(np.concatenate(packed)), dc_rows, ac_rows
 
     # -- decode -------------------------------------------------------------
 
@@ -107,7 +103,7 @@ class NativeRuntime:
         Bit-identical to tpujpeg.oracle.decoder.entropy_decode (enforced by
         tests/test_native.py).
         """
-        lut_sym, lut_len, dc_rows, ac_rows = self._pack_luts(img)
+        luts, dc_rows, ac_rows = self._pack_luts(img)
         scan = np.empty(img.scan_data.size + _SCAN_PAD, np.uint8)
         scan[: img.scan_data.size] = img.scan_data
         scan[img.scan_data.size :] = 0
@@ -120,7 +116,7 @@ class NativeRuntime:
             img.restart_interval, img.n_mcus,
             pattern, pattern.size,
             dc_rows, ac_rows, len(img.components),
-            lut_sym, lut_len,
+            luts,
             out.reshape(-1),
         )
         if rc != 0:
@@ -139,7 +135,7 @@ def load() -> NativeRuntime:
         if _runtime is None:
             path = build.build()
             dll = ctypes.CDLL(str(path))
-            if dll.tpj_version() != 1:
+            if dll.tpj_version() != 2:
                 raise RuntimeError("native ABI version mismatch")
             _runtime = NativeRuntime(dll)
     return _runtime

@@ -5,16 +5,24 @@
 // kernels, reference legacy_versions/cudaH-implementation/src/parser.cu:281-311,
 // and the serial oracle cpp-decoder/src/parser.cpp:105-142).  Unlike the
 // reference's bit-by-bit tree walk (huffmanTree.cpp:110-123) or 256-way
-// linear code scan (cuda-decoder/src/parser.cu:5-19), each symbol is decoded
-// with ONE lookup into a direct-indexed 16-bit-peek table, and the bit reader
-// keeps a 64-bit buffer so refills touch memory once per ~6 symbols.
+// linear code scan (cuda-decoder/src/parser.cu:5-19), symbols decode
+// through a two-level direct-indexed table:
+//   level 1: 10-bit peek -> packed (len<<8 | sym), 2 KB per table,
+//            L1-cache resident, covers virtually all real codes;
+//   level 2: full 16-bit peek table for codes longer than 10 bits.
+// The bit reader keeps a 64-bit buffer refilled once per symbol (a code is
+// <= 16 bits and its magnitude <= 15, so 32 buffered bits always suffice).
+//
+// Restart segments decode independently (byte-aligned starts, DC reset —
+// ITU T.81 E.1.2), so segmented scans are parallelized with OpenMP: the
+// same segment table the TPU decoder uses for lane parallelism gives the
+// host decoder core parallelism.
 //
 // Semantics are bit-identical to tpujpeg.oracle.decoder.entropy_decode:
 //   - JPEG EXTEND per reference utils.cu:34-41 (size==0 -> 0),
 //   - AC RLE with EOB / ZRL and the reference's "consume size bits even when
 //     the run overflows the block" behavior (cpp parser.cpp:130-135),
-//   - DC DPCM accumulated per component, reset at restart boundaries
-//     (ITU T.81 E.1.2; the reference does not support DRI at all).
+//   - DC DPCM accumulated per component, reset at restart boundaries.
 //
 // Exported C ABI (loaded via ctypes; no pybind11 in this image):
 //   tpj_entropy_decode        - decode one scan into int32 coefficients
@@ -26,6 +34,8 @@ namespace {
 
 constexpr int kLutBits = 16;
 constexpr int64_t kLutSize = int64_t(1) << kLutBits;
+constexpr int kFastBits = 10;
+constexpr int kFastSize = 1 << kFastBits;
 
 // Error codes (keep in sync with runtime/native/lib.py).
 enum : int32_t {
@@ -36,41 +46,41 @@ enum : int32_t {
 };
 
 struct BitReader {
-  const uint8_t* data;  // caller guarantees >= 8 bytes of zero padding
-  int64_t nbits;        // total real bits
+  const uint8_t* data;  // caller guarantees >= 512 bytes of zero padding
   int64_t byte_pos;     // next byte to refill from
   uint64_t buf;         // MSB-first bit buffer
   int bits;             // valid bits in buf
 
-  inline void reset(const uint8_t* d, int64_t total_bits, int64_t start_byte) {
+  inline void reset(const uint8_t* d, int64_t start_byte) {
     data = d;
-    nbits = total_bits;
     byte_pos = start_byte;
     buf = 0;
     bits = 0;
   }
 
   inline void refill() {
-    while (bits <= 56) {
-      buf |= uint64_t(data[byte_pos++]) << (56 - bits);
-      bits += 8;
-    }
+    // Branchless fill to >= 56 bits: one unaligned 64-bit load (the caller
+    // guarantees padding), big-endian normalize, splice below current bits.
+    uint64_t w;
+    std::memcpy(&w, data + byte_pos, 8);
+    w = __builtin_bswap64(w);
+    buf |= w >> bits;
+    int add = (63 - bits) & ~7;
+    byte_pos += add >> 3;
+    bits += add;
   }
 
-  inline uint32_t peek16() {
-    if (bits < 16) refill();
-    return uint32_t(buf >> 48);
-  }
+  inline uint32_t peek(int n) const { return uint32_t(buf >> (64 - n)); }
 
   inline void consume(int n) {
     buf <<= n;
     bits -= n;
   }
 
-  // n in [0, 16]; peek16() must have been called since the last consume.
+  // n in [0, 16]; requires bits >= 16 + n.
   inline uint32_t get_bits(int n) {
-    uint32_t v = uint32_t((buf >> 48) & 0xFFFF) >> (16 - n);
     if (n == 0) return 0;
+    uint32_t v = uint32_t(buf >> (64 - n));
     consume(n);
     return v;
   }
@@ -86,86 +96,54 @@ static inline int32_t extend(int size, uint32_t raw) {
   return v >= half ? v : v - (2 * half - 1);
 }
 
-}  // namespace
+struct CompTables {
+  const uint16_t* dc16;   // full 16-bit-peek table, packed (len<<8)|sym
+  const uint16_t* ac16;
+  const uint16_t* dc_fast;  // 10-bit first level (0 = escape to 16-bit)
+  const uint16_t* ac_fast;
+};
 
-extern "C" {
+// Decode one symbol; returns packed (len<<8)|sym, or 0 on invalid code.
+static inline uint32_t decode_sym(BitReader& br, const uint16_t* fast,
+                                  const uint16_t* full) {
+  uint32_t e = fast[br.peek(kFastBits)];
+  if (e == 0) e = full[br.peek(kLutBits)];
+  br.consume(e >> 8);
+  return e;
+}
 
-int32_t tpj_version() { return 1; }
-
-// Decode one de-stuffed entropy scan into zigzag-order coefficient blocks.
-//
-//   scan         de-stuffed entropy bytes, padded with >= 8 zero bytes
-//   scan_len     number of real bytes (excluding padding)
-//   seg_offsets  [n_segments] byte offset of each restart segment start
-//   ri           restart interval in MCUs (0 = none)
-//   n_mcus       total MCU count
-//   pattern      [bpm] component index of each block within an MCU
-//   bpm          blocks per MCU
-//   dc_rows      [n_comp] row of each component's DC table in lut_sym/lut_len
-//   ac_rows      [n_comp] row of each component's AC table
-//   n_comp       component count (<= 4)
-//   lut_sym      [n_luts * 65536] uint8 symbol per 16-bit window
-//   lut_len      [n_luts * 65536] uint8 code length per window (0 = invalid)
-//   out          [n_mcus * bpm * 64] int32, written in scan order (zeroed here)
-int32_t tpj_entropy_decode(
-    const uint8_t* scan, int64_t scan_len,
-    const int64_t* seg_offsets, int64_t n_segments,
-    int64_t ri, int64_t n_mcus,
-    const int32_t* pattern, int64_t bpm,
-    const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
-    const uint8_t* lut_sym, const uint8_t* lut_len,
-    int32_t* out) {
+// Decode MCUs [mcu_begin, mcu_end) starting at scan byte `start_byte`
+// with fresh DC predictors.  `out` points at the first block of mcu_begin.
+static int32_t decode_range(const uint8_t* scan, int64_t scan_len,
+                            int64_t start_byte, int64_t mcu_begin,
+                            int64_t mcu_end, const int32_t* pattern,
+                            int64_t bpm, const CompTables* ct, int32_t* out) {
   const int64_t total_bits = scan_len * 8;
-  std::memset(out, 0, size_t(n_mcus) * bpm * 64 * sizeof(int32_t));
-
-  const uint8_t* dc_sym[4];
-  const uint8_t* dc_len[4];
-  const uint8_t* ac_sym[4];
-  const uint8_t* ac_len[4];
-  for (int64_t c = 0; c < n_comp; ++c) {
-    dc_sym[c] = lut_sym + int64_t(dc_rows[c]) * kLutSize;
-    dc_len[c] = lut_len + int64_t(dc_rows[c]) * kLutSize;
-    ac_sym[c] = lut_sym + int64_t(ac_rows[c]) * kLutSize;
-    ac_len[c] = lut_len + int64_t(ac_rows[c]) * kLutSize;
-  }
-
   BitReader br;
-  br.reset(scan, total_bits, 0);
+  br.reset(scan, start_byte);
   int32_t dc_pred[4] = {0, 0, 0, 0};
-  int64_t seg = 0;
   int32_t* block = out;
 
-  for (int64_t mcu = 0; mcu < n_mcus; ++mcu) {
-    if (ri && mcu && mcu % ri == 0) {
-      if (++seg >= n_segments) return kErrMissingSegment;
-      br.reset(scan, total_bits, seg_offsets[seg]);
-      dc_pred[0] = dc_pred[1] = dc_pred[2] = dc_pred[3] = 0;
-    }
+  for (int64_t mcu = mcu_begin; mcu < mcu_end; ++mcu) {
     for (int64_t b = 0; b < bpm; ++b, block += 64) {
-      const int ci = pattern[b];
+      const CompTables& t = ct[pattern[b]];
       // DC: size symbol, then EXTEND (cpp parser.cpp:105-110).
-      uint32_t peek = br.peek16();
-      int len = dc_len[ci][peek];
-      if (len == 0) return kErrInvalidCode;
-      int size = dc_sym[ci][peek];
-      br.consume(len);
       br.refill();
-      dc_pred[ci] += extend(size, br.get_bits(size));
-      block[0] = dc_pred[ci];
+      uint32_t e = decode_sym(br, t.dc_fast, t.dc16);
+      if (e == 0) return kErrInvalidCode;
+      int size = e & 0xFF;
+      dc_pred[pattern[b]] += extend(size, br.get_bits(size));
+      block[0] = dc_pred[pattern[b]];
       // AC: run/size symbols (cpp parser.cpp:113-135).
-      const uint8_t* asym = ac_sym[ci];
-      const uint8_t* alen = ac_len[ci];
       int k = 1;
       while (k < 64) {
-        peek = br.peek16();
-        len = alen[peek];
-        if (len == 0) return kErrInvalidCode;
-        int sym = asym[peek];
-        br.consume(len);
+        br.refill();
+        e = decode_sym(br, t.ac_fast, t.ac16);
+        if (e == 0) return kErrInvalidCode;
+        int sym = e & 0xFF;
         if (sym == 0) break;  // EOB
         k += sym >> 4;
         size = sym & 0x0F;
-        br.refill();
         uint32_t raw = br.get_bits(size);
         if (k < 64) {
           block[k] = extend(size, raw);
@@ -177,6 +155,96 @@ int32_t tpj_entropy_decode(
     }
   }
   return kOk;
+}
+
+// Derive the 10-bit first-level table: entry j covers peek windows with top
+// bits j; valid iff the code there is <= kFastBits long (all such windows
+// share it).  0 marks escape-to-full-table (also covers invalid windows).
+static void build_fast(const uint16_t* full, uint16_t* fast) {
+  for (int j = 0; j < kFastSize; ++j) {
+    uint16_t e = full[uint32_t(j) << (kLutBits - kFastBits)];
+    fast[j] = (e != 0 && (e >> 8) <= kFastBits) ? e : 0;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t tpj_version() { return 2; }
+
+// Decode one de-stuffed entropy scan into zigzag-order coefficient blocks.
+//
+//   scan         de-stuffed entropy bytes, padded with >= 512 zero bytes
+//   scan_len     number of real bytes (excluding padding)
+//   seg_offsets  [n_segments] byte offset of each restart segment start
+//   ri           restart interval in MCUs (0 = none)
+//   n_mcus       total MCU count
+//   pattern      [bpm] component index of each block within an MCU
+//   bpm          blocks per MCU
+//   dc_rows      [n_comp] row of each component's DC table in luts
+//   ac_rows      [n_comp] row of each component's AC table
+//   n_comp       component count (<= 4)
+//   luts         [n_luts * 65536] uint16 packed (len << 8) | sym (0 invalid)
+//   out          [n_mcus * bpm * 64] int32, written in scan order
+int32_t tpj_entropy_decode(
+    const uint8_t* scan, int64_t scan_len,
+    const int64_t* seg_offsets, int64_t n_segments,
+    int64_t ri, int64_t n_mcus,
+    const int32_t* pattern, int64_t bpm,
+    const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
+    const uint16_t* luts,
+    int32_t* out) {
+  std::memset(out, 0, size_t(n_mcus) * bpm * 64 * sizeof(int32_t));
+
+  // Fast first-level tables for every distinct LUT row in use.
+  uint16_t fast[8][kFastSize];
+  int fast_of[16];
+  for (int i = 0; i < 16; ++i) fast_of[i] = -1;
+  int n_fast = 0;
+  CompTables ct[4];
+  for (int64_t c = 0; c < n_comp; ++c) {
+    for (int which = 0; which < 2; ++which) {
+      int row = which == 0 ? dc_rows[c] : ac_rows[c];
+      if (row < 0 || row >= 8) return kErrInvalidCode;
+      if (fast_of[row] < 0) {
+        fast_of[row] = n_fast;
+        build_fast(luts + int64_t(row) * kLutSize, fast[n_fast]);
+        ++n_fast;
+      }
+      const uint16_t* full = luts + int64_t(row) * kLutSize;
+      const uint16_t* fl = fast[fast_of[row]];
+      if (which == 0) {
+        ct[c].dc16 = full;
+        ct[c].dc_fast = fl;
+      } else {
+        ct[c].ac16 = full;
+        ct[c].ac_fast = fl;
+      }
+    }
+  }
+
+  if (ri == 0 || n_segments <= 1) {
+    return decode_range(scan, scan_len, 0, 0, n_mcus, pattern, bpm, ct, out);
+  }
+
+  // One independent decode per restart segment; parallel across cores.
+  int32_t status = kOk;
+  const int64_t need = (n_mcus + ri - 1) / ri;
+  if (need > n_segments) return kErrMissingSegment;
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t s = 0; s < need; ++s) {
+    int64_t mcu_begin = s * ri;
+    int64_t mcu_end = mcu_begin + ri < n_mcus ? mcu_begin + ri : n_mcus;
+    int32_t rc = decode_range(scan, scan_len, seg_offsets[s], mcu_begin,
+                              mcu_end, pattern, bpm, ct,
+                              out + mcu_begin * bpm * 64);
+    if (rc != kOk) {
+#pragma omp atomic write
+      status = rc;
+    }
+  }
+  return status;
 }
 
 }  // extern "C"
