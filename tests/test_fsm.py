@@ -1,0 +1,126 @@
+"""Column-synchronous FSM entropy decoder == oracle, bit for bit."""
+
+import numpy as np
+import pytest
+
+from tpujpeg.errors import JpegError
+from tpujpeg.io.parser import parse, parse_file
+from tpujpeg.ops import fsm
+from tpujpeg.oracle import decoder as oracle
+
+from conftest import GOLDEN, fixture_path, make_jpeg, make_jpeg_rst
+
+
+def oracle_batch(imgs):
+    return np.concatenate([oracle.entropy_decode(im) for im in imgs])
+
+
+@pytest.mark.parametrize("rst", [1, 3, 5])
+def test_fsm_matches_oracle_restart(rst):
+    img = parse(make_jpeg_rst(shape=(48, 64), rst_interval=rst, seed=rst))
+    assert img.n_segments() > 1
+    np.testing.assert_array_equal(
+        fsm.entropy_decode_fsm([img]), oracle.entropy_decode(img)
+    )
+
+
+def test_fsm_matches_oracle_single_segment():
+    img = parse(make_jpeg(shape=(40, 56), quality=85, seed=2))
+    assert img.n_segments() == 1
+    np.testing.assert_array_equal(
+        fsm.entropy_decode_fsm([img]), oracle.entropy_decode(img)
+    )
+
+
+def test_fsm_matches_oracle_batch():
+    imgs = [
+        parse(make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=7)),
+        parse(make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=8)),
+    ]
+    np.testing.assert_array_equal(fsm.entropy_decode_fsm(imgs), oracle_batch(imgs))
+
+
+@pytest.mark.parametrize("quality", [30, 75, 97])
+def test_fsm_matches_oracle_quality_sweep(quality):
+    # quality changes code-length distributions and raw-bit density
+    img = parse(make_jpeg_rst(shape=(48, 64), rst_interval=3, seed=4, quality=quality))
+    np.testing.assert_array_equal(
+        fsm.entropy_decode_fsm([img]), oracle.entropy_decode(img)
+    )
+
+
+def test_fsm_matches_oracle_noise():
+    # pure noise maximizes symbol density and AC code variety
+    import cv2
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(
+        ".jpg", arr,
+        [cv2.IMWRITE_JPEG_QUALITY, 95, cv2.IMWRITE_JPEG_RST_INTERVAL, 2,
+         cv2.IMWRITE_JPEG_SAMPLING_FACTOR, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444],
+    )
+    img = parse(enc.tobytes())
+    np.testing.assert_array_equal(
+        fsm.entropy_decode_fsm([img]), oracle.entropy_decode(img)
+    )
+
+
+def test_fsm_envelope_rejects_huge_single_segment():
+    # Golden fixtures carry no restart markers: a whole image in one lane
+    # exceeds the packed-event block budget, and the plan must say so
+    # (callers then fall back to the host/gather decoders).
+    img = parse_file(fixture_path(GOLDEN[0]))
+    if img.n_mcus * img.blocks_per_mcu > fsm.MAX_BLOCKS_PER_LANE:
+        with pytest.raises(JpegError):
+            fsm.build_plan([img])
+
+
+@pytest.mark.parametrize("subsampling", [1, 2])
+def test_fsm_matches_oracle_subsampled(subsampling):
+    img = parse(make_jpeg(shape=(48, 64), subsampling=subsampling, seed=4))
+    np.testing.assert_array_equal(
+        fsm.entropy_decode_fsm([img]), oracle.entropy_decode(img)
+    )
+
+
+def test_fsm_matches_oracle_grayscale():
+    img = parse(make_jpeg(shape=(40, 48), gray=True, seed=5))
+    np.testing.assert_array_equal(
+        fsm.entropy_decode_fsm([img]), oracle.entropy_decode(img)
+    )
+
+
+def test_fsm_flags_truncation():
+    img = parse(make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=11))
+    img.scan_data = img.scan_data[: img.scan_data.size // 4].copy()
+    img.segment_offsets = img.segment_offsets[
+        img.segment_offsets < img.scan_data.size
+    ]
+    with pytest.raises(JpegError):
+        fsm.entropy_decode_fsm([img])
+
+
+def test_fsm_piecewise_tables_cover_annex_k():
+    # The piecewise-affine symbol map must stay within the select-tree cap
+    # for libjpeg's default (Annex K) tables.
+    img = parse(make_jpeg(shape=(32, 32), seed=0))
+    tables = fsm.build_tables(img)
+    assert 0 < len(tables.piece_keys) <= fsm.MAX_PIECES
+    # spot-check: every (table, len, creg) decodes to the right symbol
+    for header, table in img.huffman.items():
+        tbl_id = (header >> 4) * 2 + (header & 0x0F)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = int(table.counts[length - 1])
+            for i in range(n):
+                skey = (tbl_id << 21) | (length << 16) | (code + i)
+                # emulate the BST: last piece with key <= skey
+                import bisect
+
+                j = bisect.bisect_right(tables.piece_keys, skey) - 1
+                sym = tables.piece_bases[j] + (code + i)
+                assert sym == int(table.symbols[k + i]), (header, length, i)
+            k += n
+            code = (code + n) << 1
