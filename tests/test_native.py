@@ -64,3 +64,12 @@ def test_native_rejects_garbage(native):
     img.scan_data = img.scan_data[: img.scan_data.size // 8].copy()
     with pytest.raises(JpegError):
         native.entropy_decode(img)
+
+
+def test_native_int16_output(native):
+    img = parse(make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=3))
+    out16 = np.zeros((img.n_mcus * img.blocks_per_mcu, 64), np.int16)
+    native.entropy_decode(img, out=out16)
+    np.testing.assert_array_equal(
+        out16.astype(np.int32), oracle.entropy_decode(img)
+    )

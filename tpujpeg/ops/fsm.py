@@ -519,6 +519,28 @@ def assemble(per_lane: np.ndarray, layout) -> np.ndarray:
     return np.concatenate(parts) if len(parts) > 1 else np.asarray(parts[0])
 
 
+@functools.partial(jax.jit, static_argnames=("layout", "pad_to"))
+def assemble_batched(per_lane: jnp.ndarray, *, layout, pad_to: int):
+    """Device-side assemble for a uniform batch: [pad_to, blocks_img, 64].
+
+    All images must share one per-image layout (the batch engine buckets by
+    geometry, so this holds within a chunk).  Keeps the FSM -> pixel-stage
+    hand-off entirely on device: on this machine host<->device round-trips
+    run over a slow tunnel, and the coefficient tensor is ~100x the size of
+    the compressed scan it came from.
+    """
+    per_img = []
+    for first, n_lanes, rib, last in layout:
+        rows = [per_lane[first : first + n_lanes - 1, :rib].reshape(-1, 64)]
+        rows.append(per_lane[first + n_lanes - 1, :last])
+        per_img.append(jnp.concatenate(rows) if n_lanes > 1 else rows[-1])
+    out = jnp.stack(per_img)
+    if pad_to > out.shape[0]:
+        pad = jnp.zeros((pad_to - out.shape[0],) + out.shape[1:], out.dtype)
+        out = jnp.concatenate([out, pad])
+    return out
+
+
 def decode_plan(plan: FsmPlan):
     """Run the FSM decoder -> (per_lane [L, max_blk, 64] device, err [L])."""
     per_lane, err, _ = _decode_jit(

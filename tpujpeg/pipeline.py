@@ -123,9 +123,12 @@ def device_decode_fn(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The jittable decode body: coefficients -> (rgb uint8, packed riskbits).
 
-    coeffs: int32 [n_blocks, 64], zigzag order, scan order, DPCM resolved.
+    coeffs: int32 or int16 [n_blocks, 64], zigzag order, scan order, DPCM
+        resolved (int16 is lossless for conformant baseline scans and
+        halves the host->device transfer; math still runs in int32).
     quant:  int32 [n_comp, 64], zigzag order.
     """
+    coeffs = coeffs.astype(jnp.int32)
     pattern = jnp.asarray(np.tile(geom.pattern(), geom.n_mcus))
     block_quant = jnp.take(quant, pattern, axis=0)  # [n_blocks, 64]
     deq = coeffs * block_quant  # zigzag domain (cpp parser.cpp:111,130)

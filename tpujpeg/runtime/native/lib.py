@@ -41,18 +41,24 @@ class NativeRuntime:
 
     def __init__(self, dll: ctypes.CDLL):
         self._dll = dll
-        fn = dll.tpj_entropy_decode
-        fn.restype = ctypes.c_int32
-        fn.argtypes = [
+        common = [
             _u8p, ctypes.c_int64,              # scan, scan_len
             _i64p, ctypes.c_int64,             # seg_offsets, n_segments
             ctypes.c_int64, ctypes.c_int64,    # ri, n_mcus
             _i32p, ctypes.c_int64,             # pattern, bpm
             _i32p, _i32p, ctypes.c_int64,      # dc_rows, ac_rows, n_comp
             _u16p,                             # luts, packed (len<<8)|sym
-            _i32p,                             # out
         ]
+        fn = dll.tpj_entropy_decode
+        fn.restype = ctypes.c_int32
+        fn.argtypes = common + [_i32p]
         self._decode = fn
+        fn16 = dll.tpj_entropy_decode16
+        fn16.restype = ctypes.c_int32
+        fn16.argtypes = common + [
+            np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        ]
+        self._decode16 = fn16
         self._lut_cache: dict[bytes, np.ndarray] = {}
         self._lut_lock = threading.Lock()
 
@@ -97,11 +103,15 @@ class NativeRuntime:
 
     # -- decode -------------------------------------------------------------
 
-    def entropy_decode(self, img: JpegImage) -> np.ndarray:
-        """Huffman-decode the scan -> int32 [n_blocks, 64] zigzag coefficients.
+    def entropy_decode(
+        self, img: JpegImage, out: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Huffman-decode the scan -> [n_blocks, 64] zigzag coefficients.
 
         Bit-identical to tpujpeg.oracle.decoder.entropy_decode (enforced by
-        tests/test_native.py).
+        tests/test_native.py).  `out` may be a preallocated contiguous
+        int32 or int16 [n_blocks, 64] array (int16 is safe for conformant
+        baseline scans and halves the device upload); default int32.
         """
         luts, dc_rows, ac_rows = self._pack_luts(img)
         scan = np.empty(img.scan_data.size + _SCAN_PAD, np.uint8)
@@ -109,8 +119,15 @@ class NativeRuntime:
         scan[img.scan_data.size :] = 0
         pattern = np.asarray(img.mcu_block_pattern(), np.int32)
         segs = np.ascontiguousarray(img.segment_offsets, dtype=np.int64)
-        out = np.empty((img.n_mcus * img.blocks_per_mcu, 64), np.int32)
-        rc = self._decode(
+        n_blocks = img.n_mcus * img.blocks_per_mcu
+        if out is None:
+            out = np.empty((n_blocks, 64), np.int32)
+        if out.shape != (n_blocks, 64) or not out.flags.c_contiguous:
+            raise ValueError("bad output buffer")
+        fn = {np.dtype(np.int32): self._decode, np.dtype(np.int16): self._decode16}[
+            out.dtype
+        ]
+        rc = fn(
             scan, img.scan_data.size,
             segs, segs.size,
             img.restart_interval, img.n_mcus,
@@ -135,7 +152,7 @@ def load() -> NativeRuntime:
         if _runtime is None:
             path = build.build()
             dll = ctypes.CDLL(str(path))
-            if dll.tpj_version() != 2:
+            if dll.tpj_version() != 3:
                 raise RuntimeError("native ABI version mismatch")
             _runtime = NativeRuntime(dll)
     return _runtime

@@ -114,15 +114,19 @@ static inline uint32_t decode_sym(BitReader& br, const uint16_t* fast,
 
 // Decode MCUs [mcu_begin, mcu_end) starting at scan byte `start_byte`
 // with fresh DC predictors.  `out` points at the first block of mcu_begin.
+// OutT is int32 or int16: every coefficient of a conformant baseline scan
+// fits int16 (|DC| <= 2047 cumulative, |AC| <= 1023), and the int16 form
+// halves the host->device transfer that dominates batched decode.
+template <typename OutT>
 static int32_t decode_range(const uint8_t* scan, int64_t scan_len,
                             int64_t start_byte, int64_t mcu_begin,
                             int64_t mcu_end, const int32_t* pattern,
-                            int64_t bpm, const CompTables* ct, int32_t* out) {
+                            int64_t bpm, const CompTables* ct, OutT* out) {
   const int64_t total_bits = scan_len * 8;
   BitReader br;
   br.reset(scan, start_byte);
   int32_t dc_pred[4] = {0, 0, 0, 0};
-  int32_t* block = out;
+  OutT* block = out;
 
   for (int64_t mcu = mcu_begin; mcu < mcu_end; ++mcu) {
     for (int64_t b = 0; b < bpm; ++b, block += 64) {
@@ -133,7 +137,7 @@ static int32_t decode_range(const uint8_t* scan, int64_t scan_len,
       if (e == 0) return kErrInvalidCode;
       int size = e & 0xFF;
       dc_pred[pattern[b]] += extend(size, br.get_bits(size));
-      block[0] = dc_pred[pattern[b]];
+      block[0] = OutT(dc_pred[pattern[b]]);
       // AC: run/size symbols (cpp parser.cpp:113-135).
       int k = 1;
       while (k < 64) {
@@ -146,7 +150,7 @@ static int32_t decode_range(const uint8_t* scan, int64_t scan_len,
         size = sym & 0x0F;
         uint32_t raw = br.get_bits(size);
         if (k < 64) {
-          block[k] = extend(size, raw);
+          block[k] = OutT(extend(size, raw));
           ++k;
         }
         // else: bits consumed, value dropped (reference parser.cpp:130-135)
@@ -167,11 +171,6 @@ static void build_fast(const uint16_t* full, uint16_t* fast) {
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-int32_t tpj_version() { return 2; }
 
 // Decode one de-stuffed entropy scan into zigzag-order coefficient blocks.
 //
@@ -187,15 +186,16 @@ int32_t tpj_version() { return 2; }
 //   n_comp       component count (<= 4)
 //   luts         [n_luts * 65536] uint16 packed (len << 8) | sym (0 invalid)
 //   out          [n_mcus * bpm * 64] int32, written in scan order
-int32_t tpj_entropy_decode(
+template <typename OutT>
+static int32_t entropy_decode_impl(
     const uint8_t* scan, int64_t scan_len,
     const int64_t* seg_offsets, int64_t n_segments,
     int64_t ri, int64_t n_mcus,
     const int32_t* pattern, int64_t bpm,
     const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
     const uint16_t* luts,
-    int32_t* out) {
-  std::memset(out, 0, size_t(n_mcus) * bpm * 64 * sizeof(int32_t));
+    OutT* out) {
+  std::memset(out, 0, size_t(n_mcus) * bpm * 64 * sizeof(OutT));
 
   // Fast first-level tables for every distinct LUT row in use.
   uint16_t fast[8][kFastSize];
@@ -245,6 +245,40 @@ int32_t tpj_entropy_decode(
     }
   }
   return status;
+}
+}  // namespace
+
+extern "C" {
+
+int32_t tpj_version() { return 3; }
+
+int32_t tpj_entropy_decode(
+    const uint8_t* scan, int64_t scan_len,
+    const int64_t* seg_offsets, int64_t n_segments,
+    int64_t ri, int64_t n_mcus,
+    const int32_t* pattern, int64_t bpm,
+    const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
+    const uint16_t* luts,
+    int32_t* out) {
+  return entropy_decode_impl(scan, scan_len, seg_offsets, n_segments, ri,
+                             n_mcus, pattern, bpm, dc_rows, ac_rows, n_comp,
+                             luts, out);
+}
+
+// int16 variant: conformant baseline coefficients always fit (|DC| <= 2047,
+// |AC| <= 1023), and halving the coefficient bytes halves the host->device
+// transfer that bounds batched decode throughput.
+int32_t tpj_entropy_decode16(
+    const uint8_t* scan, int64_t scan_len,
+    const int64_t* seg_offsets, int64_t n_segments,
+    int64_t ri, int64_t n_mcus,
+    const int32_t* pattern, int64_t bpm,
+    const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
+    const uint16_t* luts,
+    int16_t* out) {
+  return entropy_decode_impl(scan, scan_len, seg_offsets, n_segments, ri,
+                             n_mcus, pattern, bpm, dc_rows, ac_rows, n_comp,
+                             luts, out);
 }
 
 }  // extern "C"
