@@ -11,7 +11,15 @@ from .io.parser import JpegImage, parse, parse_file
 
 __version__ = "0.1.0"
 
-__all__ = ["JpegError", "JpegImage", "parse", "parse_file", "decode", "__version__"]
+__all__ = [
+    "JpegError",
+    "JpegImage",
+    "parse",
+    "parse_file",
+    "decode",
+    "decode_batch",
+    "__version__",
+]
 
 
 def decode(data, backend: str = "tpu"):
@@ -24,3 +32,14 @@ def decode(data, backend: str = "tpu"):
     from . import pipeline
 
     return pipeline.decode(img)
+
+
+def decode_batch(datas, backend: str = "auto", **kwargs):
+    """Decode a batch of JPEG byte strings -> list of uint8 [H, W, 3].
+
+    Thin wrapper over runtime.batch.BatchDecoder (geometry bucketing,
+    pipelined host/device stages, host-native or device-FSM entropy).
+    """
+    from .runtime.batch import BatchDecoder
+
+    return BatchDecoder(backend=backend, **kwargs).decode(list(datas))
