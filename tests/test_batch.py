@@ -49,3 +49,26 @@ def test_batch_no_fetch(batch_data):
     assert dec.stats.pixels == sum(
         parse(d).width * parse(d).height for d in batch_data
     )
+
+
+def test_batch_error_isolation(batch_data):
+    datas = list(batch_data)
+    datas.insert(2, b"\xff\xd8not a jpeg")
+    dec = BatchDecoder(backend="host", chunk_size=4)
+    got = dec.decode(datas, on_error="skip")
+    assert got[2] is None
+    assert 2 in dec.stats.failures
+    exp = expected(batch_data)
+    others = [g for i, g in enumerate(got) if i != 2]
+    for g, e in zip(others, exp):
+        np.testing.assert_array_equal(g, e)
+
+
+def test_distributed_shard_list():
+    from tpujpeg.parallel import distributed as dist
+
+    items = list(range(10))
+    shards = [dist.shard_list(items, index=i, count=3) for i in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+    assert dist.allreduce_metrics({"x": 2.0}) == {"x": 2.0}

@@ -60,6 +60,7 @@ class BatchStats:
     backend: str = ""
     chunks: int = 0
     repaired_pixels: int = 0
+    failures: dict = field(default_factory=dict)  # index -> error message
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -258,12 +259,47 @@ class BatchDecoder:
         self.stats.total_s = time.perf_counter() - t_start
         return results  # type: ignore[return-value]
 
-    def decode(self, datas: list[bytes], fetch: bool = True):
-        """Parse + decode a batch of JPEG byte strings."""
+    def decode(
+        self, datas: list[bytes], fetch: bool = True, on_error: str = "raise"
+    ):
+        """Parse + decode a batch of JPEG byte strings.
+
+        on_error: 'raise' propagates the first malformed stream;
+        'skip' isolates failures — bad entries yield None (fetch=True) and
+        the failure list lands in stats (the per-item retry/skip policy the
+        reference lacks entirely; SURVEY §6 failure detection).
+        """
         t0 = time.perf_counter()
-        imgs = list(self.pool.map(parse, datas))
+        if on_error == "raise":
+            imgs = list(self.pool.map(parse, datas))
+            bad: dict[int, str] = {}
+        elif on_error == "skip":
+            imgs, bad = [], {}
+            for i, res in enumerate(
+                self.pool.map(lambda d: _try_parse(d), datas)
+            ):
+                if isinstance(res, JpegImage):
+                    imgs.append(res)
+                else:
+                    bad[i] = res
+        else:
+            raise ValueError(f"on_error={on_error!r}")
         t_parse = time.perf_counter() - t0
         out = self.decode_parsed(imgs, fetch=fetch)
         self.stats.parse_s = t_parse
         self.stats.total_s += t_parse
+        self.stats.failures = bad
+        if bad and out is not None:
+            full: list = []
+            it = iter(out)
+            for i in range(len(datas)):
+                full.append(None if i in bad else next(it))
+            return full
         return out
+
+
+def _try_parse(data: bytes):
+    try:
+        return parse(data)
+    except JpegError as e:
+        return str(e)
