@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--skip-runtime", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of one batch")
     args = ap.parse_args()
 
     import jax
@@ -105,6 +107,12 @@ def main():
     dec = BatchDecoder(backend=args.backend, chunk_size=args.chunk, strict=False)
     # Warmup compiles every stage.
     dec.decode(datas[: args.chunk], fetch=False)
+
+    if args.profile:
+        from tpujpeg.utils.profiling import device_trace
+
+        with device_trace(args.profile):
+            dec.decode(datas, fetch=False)
 
     best = None
     for _ in range(args.iters):

@@ -1,0 +1,47 @@
+"""Speculative equal-split FSM decode (no restart markers) == oracle.
+
+All cases share chunk_bytes=256 so the jit cache compiles the speculative
+graphs once per table/geometry family (axon/CPU compiles are minutes).
+"""
+
+import numpy as np
+import pytest
+
+from tpujpeg.errors import JpegError
+from tpujpeg.io.parser import parse
+from tpujpeg.ops import fsm
+from tpujpeg.oracle import decoder as oracle
+
+from conftest import make_jpeg
+
+CHUNK = 256
+
+
+def test_spec_matches_oracle():
+    img = parse(make_jpeg(shape=(64, 80), quality=88, seed=3))
+    assert img.restart_interval == 0
+    got = fsm.decode_speculative(img, chunk_bytes=CHUNK)
+    np.testing.assert_array_equal(got, oracle.entropy_decode(img))
+
+
+def test_spec_single_chunk():
+    # tiny image -> whole scan in one lane (degenerate split)
+    img = parse(make_jpeg(shape=(16, 16), quality=80, seed=1))
+    plan = fsm.build_spec_plan(img, CHUNK)
+    assert plan.n_lanes == 1
+    got = fsm.decode_speculative(img, chunk_bytes=CHUNK)
+    np.testing.assert_array_equal(got, oracle.entropy_decode(img))
+
+
+def test_spec_noise_stream():
+    # noise maximizes symbol density; boundary guesses land mid-code often
+    img = parse(make_jpeg(shape=(48, 64), quality=92, seed=7, smooth=False))
+    got = fsm.decode_speculative(img, chunk_bytes=CHUNK)
+    np.testing.assert_array_equal(got, oracle.entropy_decode(img))
+
+
+def test_spec_truncated_raises():
+    img = parse(make_jpeg(shape=(64, 80), quality=88, seed=3))
+    img.scan_data = img.scan_data[: img.scan_data.size // 2].copy()
+    with pytest.raises(JpegError):
+        fsm.decode_speculative(img, chunk_bytes=CHUNK)

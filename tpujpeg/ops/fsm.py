@@ -221,9 +221,15 @@ def build_plan(imgs: list[JpegImage]) -> FsmPlan:
         n_blocks_total += img.n_mcus * bpm
 
     L = _round_up(max(len(seg_bytes), 8), 128)
+    # Stride buckets: pow2 up to 1 KiB, then 512-byte steps — the column
+    # scan costs wall-clock per column, so coarse pow2 buckets would waste
+    # up to half the decode on padding columns.
+    longest = max(b.size for b in seg_bytes)
     stride = 64
-    while stride < max(b.size for b in seg_bytes):
+    while stride < min(longest, 1024):
         stride *= 2
+    if longest > stride:
+        stride = _round_up(longest, 512)
     xs = np.zeros((L, stride), np.uint8)
     for i, b in enumerate(seg_bytes):
         xs[i, : b.size] = b
@@ -285,21 +291,39 @@ def _bst_tree(key: jnp.ndarray, keys: tuple, values: tuple) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _fsm_scan(xs, seg_n_blocks, tables: FsmTables):
+def _fsm_scan(
+    xs,
+    seg_n_blocks,
+    tables: FsmTables,
+    start_bits=None,
+    start_bim=None,
+    dc_diff: bool = False,
+    chunk_bits=None,
+):
     """Run the bit FSM over byte columns.
 
-    Returns (events int32 [stride, EMIT_SLOTS, L], err bool [L]).
+    Restart mode (defaults): every lane starts at bit 0 of its row with a
+    fresh DC predictor.  Speculative mode: `start_bits`/`start_bim` give
+    each lane its handoff state (bit offset into its row, MCU block phase)
+    from the Jacobi boundary iteration, and `dc_diff=True` emits raw DC
+    differences (predictors are unknowable mid-stream; a global segmented
+    cumsum resolves DPCM afterwards — the 3-thread prefix pass of the
+    reference, parser.cu:198-206, as one vector op).
+
+    Returns (events int32 [stride, EMIT_SLOTS, L], err bool [L], state).
     """
     L = xs.shape[1]
     bpm = len(tables.comp)
     lim_flat = [tables.lim[t][l] for t in range(4) for l in range(16)]
     zero = jnp.zeros(L, jnp.int32)
 
-    def substep(st, byte, j):
+    def substep(st, byte, j, col):
         (creg, clen, rawn, rawacc, rsize, pz, k, blk, bim, dcs, done, err,
-         ec, slots) = st
+         ec, slots, end_bits, end_bim) = st
         bit = (byte >> (7 - j)) & 1
         active = ~done & ~err
+        if start_bits is not None:
+            active = active & ((col * 8 + j) >= start_bits)
         in_raw = rawn > 0
 
         # ---- raw-magnitude path (JPEG EXTEND bits) ----
@@ -341,7 +365,10 @@ def _fsm_scan(xs, seg_n_blocks, tables: FsmTables):
             dc_here = jnp.where(sel, dc_new, dc_here)
 
         emit = emit_dc_now | (raw_done & (raw_is_dc | (pz < 64)))
-        emit_val = jnp.where(raw_done & ~raw_is_dc, val_raw, dc_here)
+        # diff mode: a size-0 DC symbol means difference 0 (emit_dc_now
+        # fires without any magnitude bits, so val_raw is stale there)
+        dc_emit = jnp.where(emit_dc_now, 0, val_raw) if dc_diff else dc_here
+        emit_val = jnp.where(raw_done & ~raw_is_dc, val_raw, dc_emit)
         emit_z = jnp.where(raw_done & ~raw_is_dc, pz, 0)
 
         # ---- coefficient/block bookkeeping ----
@@ -354,6 +381,14 @@ def _fsm_scan(xs, seg_n_blocks, tables: FsmTables):
                          jnp.where(bim + 1 == bpm, 0, bim + 1), bim)
         k4 = jnp.where(block_end, 0, k3)
         done2 = done | (blk2 >= seg_n_blocks)
+        if chunk_bits is not None:
+            # speculative count: stop at the first block boundary at or
+            # past the lane's chunk end (the reference's overflow rule,
+            # parser.cu:156-173)
+            done2 = done2 | (block_end & (col * 8 + j + 1 >= chunk_bits))
+        newly_done = done2 & ~done
+        end_bits = jnp.where(newly_done, col * 8 + j + 1, end_bits)
+        end_bim = jnp.where(newly_done, bim2, end_bim)
 
         packed = (blk << 18) | (emit_z << 12) | (emit_val + 2048)
         slots2 = tuple(
@@ -377,25 +412,34 @@ def _fsm_scan(xs, seg_n_blocks, tables: FsmTables):
         pz2 = jnp.where(goes_raw, jnp.where(is_dc, 0, z_ac), pz)
 
         return (creg3, clen3, rawn3, rawacc3, rsize3, pz2, k4, blk2, bim2,
-                tuple(dcs2), done2, err2, ec2, slots2)
+                tuple(dcs2), done2, err2, ec2, slots2, end_bits, end_bim)
 
-    def body(st, byte_u8):
+    def body(st, col_and_byte):
+        col, byte_u8 = col_and_byte
         byte = byte_u8.astype(jnp.int32)
         # fresh emit slots each byte
-        st = st[:12] + (zero, tuple(jnp.full(L, -1, jnp.int32) for _ in range(EMIT_SLOTS)))
+        st = (
+            st[:12]
+            + (zero, tuple(jnp.full(L, -1, jnp.int32) for _ in range(EMIT_SLOTS)))
+            + st[14:]
+        )
         for j in range(8):
-            st = substep(st, byte, j)
+            st = substep(st, byte, j, col)
         return st, jnp.stack(st[13])
 
     init = (
-        zero, zero, zero, zero, zero, zero, zero, zero, zero,
+        zero, zero, zero, zero, zero, zero, zero, zero,
+        zero if start_bim is None else start_bim,
         tuple(zero for _ in range(tables.n_comp)),
         seg_n_blocks == 0,
         jnp.zeros(L, bool),
         zero,
         tuple(jnp.full(L, -1, jnp.int32) for _ in range(EMIT_SLOTS)),
+        zero,
+        zero if start_bim is None else start_bim,
     )
-    st, events = jax.lax.scan(body, init, xs)
+    cols = jnp.arange(xs.shape[0], dtype=jnp.int32)
+    st, events = jax.lax.scan(body, init, (cols, xs))
     err = st[11] | ~st[10]  # undone lane at end of data = truncated
     # NB: the full carry is returned (and surfaced through the jit below)
     # on purpose: XLA:CPU (observed on jax 0.9.0) miscompiles scans whose
@@ -484,15 +528,28 @@ def _spread(valid, payload, target, M):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("tables", "max_blk"))
-def _decode_jit(xs, seg_n_blocks, *, tables: FsmTables, max_blk: int):
+@functools.partial(jax.jit, static_argnames=("tables", "max_blk", "dc_diff"))
+def _decode_jit(
+    xs,
+    seg_n_blocks,
+    *,
+    tables: FsmTables,
+    max_blk: int,
+    start_bits=None,
+    start_bim=None,
+    dc_diff: bool = False,
+):
     """FSM + butterflies: (per_lane int32 [L, max_blk, 64], err bool [L]).
 
     Deliberately independent of the batch's image layout so one compile
     serves every batch with the same (stride, lanes, tables, capacity);
     assembly into [n_blocks, 64] is a cheap layout-keyed step on top.
+    The optional start state + dc_diff serve the speculative-split path.
     """
-    events, err, scan_state = _fsm_scan(xs, seg_n_blocks, tables)
+    events, err, scan_state = _fsm_scan(
+        xs, seg_n_blocks, tables,
+        start_bits=start_bits, start_bim=start_bim, dc_diff=dc_diff,
+    )
     stride, S, L = events.shape
     ev = events.reshape(stride * S, L)
     valid = ev >= 0
@@ -563,3 +620,145 @@ def entropy_decode_fsm(imgs: list[JpegImage]) -> np.ndarray:
     if bool(jax.device_get(jnp.any(err))):
         raise JpegError("fsm decode failed (malformed or truncated scan)")
     return assemble(np.asarray(jax.device_get(per_lane)), plan.layout)
+
+
+# ---------------------------------------------------------------------------
+# Speculative equal-split decode (streams without restart markers)
+# ---------------------------------------------------------------------------
+#
+# The TPU rendition of the reference's centerpiece (cuda-decoder/src/
+# parser.cu:50-208): split the bitstream at equal byte boundaries, decode
+# every chunk in parallel from a guessed start state, and iterate until
+# neighboring boundary states agree.  The reference's per-thread overflow
+# loop becomes a Jacobi fixed-point over lane handoff states: lane i's
+# true start is lane i-1's end, lane 0's start is exact, so after k
+# iterations lanes 0..k are exact — and Huffman self-synchronization makes
+# convergence take a handful of rounds in practice.  The count pass is the
+# same bit FSM in count mode (stop at the first block boundary at or past
+# the chunk end); the final pass reuses the full decoder with per-lane
+# block quotas and DC-difference emission, with DPCM resolved by one
+# segmented cumsum (the reference's 3-thread DC prefix pass,
+# parser.cu:198-206).
+
+SPEC_OVERLAP = 384  # bytes a block may straddle past its chunk (max ~213)
+
+
+@dataclass(frozen=True)
+class SpecPlan:
+    xs: np.ndarray           # uint8 [chunk+overlap, S]
+    chunk_bits: np.ndarray   # int32 [S]
+    blk_cap: int
+    tables: FsmTables
+    chunk_bytes: int
+    n_lanes: int             # real lanes (before padding)
+    n_blocks_total: int
+    bpm: int
+
+
+@functools.partial(jax.jit, static_argnames=("tables", "blk_cap"))
+def _count_jit(xs, chunk_bits, start_bits, start_bim, *, tables, blk_cap):
+    caps = jnp.full(chunk_bits.shape, blk_cap, jnp.int32)
+    events, err, st = _fsm_scan(
+        xs, caps, tables,
+        start_bits=start_bits, start_bim=start_bim, chunk_bits=chunk_bits,
+    )
+    # end_bits/end_bim/blk: st[14], st[15], st[7].  Full state surfaced to
+    # keep every scan carry live (see the XLA:CPU note in _fsm_scan).
+    return st[14], st[15], st[7], err, st, events[0, 0]
+
+
+def build_spec_plan(img: JpegImage, chunk_bytes: int = 2048) -> SpecPlan:
+    tables = build_tables(img)
+    scan = img.scan_data
+    S = max(1, -(-scan.size // chunk_bytes))
+    n_blocks = img.n_mcus * img.blocks_per_mcu
+    stride = chunk_bytes + SPEC_OVERLAP
+    L = _round_up(S, 8)
+    xs = np.zeros((L, stride), np.uint8)
+    chunk_bits = np.zeros(L, np.int32)
+    for i in range(S):
+        part = scan[i * chunk_bytes : i * chunk_bytes + stride]
+        xs[i, : part.size] = part
+        chunk_bits[i] = min(chunk_bytes, scan.size - i * chunk_bytes) * 8
+    cap = 8
+    while cap < min(4 * (n_blocks // S + 1) + 64, MAX_BLOCKS_PER_LANE):
+        cap *= 2
+    return SpecPlan(
+        xs=np.ascontiguousarray(xs.T),
+        chunk_bits=chunk_bits,
+        blk_cap=cap,
+        tables=tables,
+        chunk_bytes=chunk_bytes,
+        n_lanes=S,
+        n_blocks_total=n_blocks,
+        bpm=img.blocks_per_mcu,
+    )
+
+
+def decode_speculative(
+    img: JpegImage, chunk_bytes: int = 2048, max_iters: int | None = None
+) -> np.ndarray:
+    """Entropy-decode a no-restart stream on device via speculative split.
+
+    Returns int32 [n_blocks, 64] zigzag coefficients, bit-identical to the
+    oracle.  Raises JpegError on malformed streams or non-convergence.
+    """
+    plan = build_spec_plan(img, chunk_bytes)
+    S = plan.n_lanes
+    L = plan.chunk_bits.shape[0]
+    xs = jnp.asarray(plan.xs)
+    cbits = jnp.asarray(plan.chunk_bits)
+    max_start = (plan.chunk_bytes + SPEC_OVERLAP) * 8 - 1
+
+    start_bits = np.zeros(L, np.int32)
+    start_bim = np.zeros(L, np.int32)
+    blocks = None
+    for _ in range(max_iters or S + 1):
+        eb, ebim, blk, err, _, _ = _count_jit(
+            xs, cbits, jnp.asarray(start_bits), jnp.asarray(start_bim),
+            tables=plan.tables, blk_cap=plan.blk_cap,
+        )
+        eb = np.asarray(jax.device_get(eb))
+        ebim = np.asarray(jax.device_get(ebim))
+        blk = np.asarray(jax.device_get(blk))
+        new_bits = start_bits.copy()
+        new_bim = start_bim.copy()
+        # lane i's start <- lane i-1's end, rebased into lane i's row
+        new_bits[1:S] = np.clip(eb[: S - 1] - plan.chunk_bytes * 8, 0, max_start)
+        new_bim[1:S] = ebim[: S - 1]
+        if np.array_equal(new_bits, start_bits) and np.array_equal(
+            new_bim, start_bim
+        ):
+            blocks = blk
+            break
+        start_bits, start_bim = new_bits, new_bim
+    if blocks is None:
+        raise JpegError("speculative split did not converge")
+
+    quotas = blocks[:L].copy()
+    quotas[S:] = 0
+    last = plan.n_blocks_total - int(quotas[: S - 1].sum())
+    if last <= 0 or last > plan.blk_cap or np.any(quotas[: S - 1] >= plan.blk_cap):
+        raise JpegError("speculative split found inconsistent block counts")
+    quotas[S - 1] = last
+
+    per_lane, err, _ = _decode_jit(
+        xs, jnp.asarray(quotas),
+        tables=plan.tables, max_blk=plan.blk_cap,
+        start_bits=jnp.asarray(start_bits), start_bim=jnp.asarray(start_bim),
+        dc_diff=True,
+    )
+    if bool(jax.device_get(jnp.any(err))):
+        raise JpegError("speculative decode failed (malformed scan)")
+    pl = np.asarray(jax.device_get(per_lane))
+    coeffs = np.concatenate([pl[i, : quotas[i]] for i in range(S)])
+
+    # Global DPCM: DC was emitted as differences; accumulate per component.
+    pattern = np.asarray(
+        [c for c in plan.tables.comp], np.int32
+    )
+    comp_seq = np.tile(pattern, plan.n_blocks_total // plan.bpm)
+    for c in range(plan.tables.n_comp):
+        m = comp_seq == c
+        coeffs[m, 0] = np.cumsum(coeffs[m, 0])
+    return coeffs

@@ -190,11 +190,18 @@ class BatchDecoder:
         return True
 
     def _process_chunk(self, chunk: _Chunk):
-        if self.backend in ("fsm", "auto"):
-            if self._process_chunk_fsm(chunk):
-                return
-            if self.backend == "fsm":
+        if self.backend == "fsm":
+            if not self._process_chunk_fsm(chunk):
                 raise JpegError("fsm: chunk outside the FSM decode envelope")
+            return
+        if self.backend == "auto":
+            from . import host
+
+            # Prefer the native host decoder when present (it wins on
+            # machines with a real host<->device link); the device FSM
+            # covers hosts without a C++ toolchain.
+            if host._load_native() is None and self._process_chunk_fsm(chunk):
+                return
         self._process_chunk_host(chunk)
 
     def decode_parsed(
