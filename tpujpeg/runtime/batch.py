@@ -66,6 +66,17 @@ class BatchStats:
         return dict(self.__dict__)
 
 
+def _force_done(out) -> None:
+    """Block until a chunk's device program has really finished.
+
+    On the axon platform `block_until_ready` returns before the work is
+    done; fetching a few real output elements is the only reliable fence
+    (the transfer depends on the whole program).
+    """
+    rgb = out[0]
+    np.asarray(jax.device_get(rgb[..., :1, :1, :1]))
+
+
 @dataclass
 class _Chunk:
     geom: Geometry
@@ -151,7 +162,10 @@ class BatchDecoder:
         B = self._pad_batch()
         native = host._load_native()
         if native is not None and self.backend != "oracle":
-            coeffs = np.zeros((B, geom.n_blocks, 64), np.int16)
+            # np.empty: the native decoder writes every real row in full
+            # (it zero-fills internally); only padding rows need clearing.
+            coeffs = np.empty((B, geom.n_blocks, 64), np.int16)
+            coeffs[len(chunk.imgs) :] = 0
             list(
                 self.pool.map(
                     lambda t: native.entropy_decode(t[0], out=t[1]),
@@ -223,12 +237,12 @@ class BatchDecoder:
 
         t0 = time.perf_counter()
         for chunk in chunks:
-            jax.block_until_ready(chunk.out)
+            _force_done(chunk.out)
             if chunk.err is not None and bool(jax.device_get(jnp.any(chunk.err))):
                 # malformed stream on the device path: redo on the host
                 # decoder, which raises a precise JpegError for bad streams
                 self._process_chunk_host(chunk)
-                jax.block_until_ready(chunk.out)
+                _force_done(chunk.out)
         t_dev = time.perf_counter() - t0
 
         self.stats = BatchStats(
