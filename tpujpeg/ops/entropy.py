@@ -1,4 +1,10 @@
-"""Device-side parallel Huffman entropy decode (the TPU centerpiece).
+"""Device-side lockstep-lane Huffman decode via gathers (superseded).
+
+NOTE: measurement showed XLA serializes dynamic gathers at ~8 ns/element
+on this TPU path, capping this design near 25 MB/s; the production device
+decoder is the gather-free FSM in ops/fsm.py.  This module is kept as the
+measured alternative (its tests pin down the same bit-exactness contract)
+and as the simplest reference for the lane/segment plan layout.
 
 The reference's headline component is a speculative self-synchronizing
 parallel Huffman decoder: split the bitstream into equal segments, decode

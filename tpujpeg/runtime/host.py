@@ -7,7 +7,9 @@ Selects the fastest available host-side Huffman decoder:
 This mirrors the reference's cudaH split (CPU Huffman feeding device
 kernels, legacy_versions/cudaH-implementation/src/parser.cu:281-311), which
 was its fastest per-image configuration by ~40x over GPU-serial Huffman
-(BASELINE.md).
+(BASELINE.md).  The device-side alternative is ops/fsm.py; the batch
+engine (runtime/batch.py) picks between them per deployment
+(PERFORMANCE.md explains when each wins).
 """
 
 from __future__ import annotations
