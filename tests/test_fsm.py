@@ -67,13 +67,16 @@ def test_fsm_matches_oracle_noise():
 
 
 def test_fsm_envelope_rejects_huge_single_segment():
-    # Golden fixtures carry no restart markers: a whole image in one lane
-    # exceeds the packed-event block budget, and the plan must say so
-    # (callers then fall back to the host/gather decoders).
-    img = parse_file(fixture_path(GOLDEN[0]))
-    if img.n_mcus * img.blocks_per_mcu > fsm.MAX_BLOCKS_PER_LANE:
-        with pytest.raises(JpegError):
-            fsm.build_plan([img])
+    # A no-restart stream puts the whole image in one lane; past the
+    # packed-event block budget the plan must say so (callers then fall
+    # back to the host/speculative decoders).  NB: round-1 used a golden
+    # fixture here, but none of them actually exceeds the cap — build a
+    # synthetic that does.
+    img = parse(make_jpeg(shape=(376, 760), quality=40, seed=0))
+    assert img.restart_interval == 0
+    assert img.n_mcus * img.blocks_per_mcu > fsm.MAX_BLOCKS_PER_LANE
+    with pytest.raises(JpegError):
+        fsm.build_plan([img])
 
 
 @pytest.mark.parametrize("subsampling", [1, 2])
@@ -107,7 +110,10 @@ def test_fsm_piecewise_tables_cover_annex_k():
     img = parse(make_jpeg(shape=(32, 32), seed=0))
     tables = fsm.build_tables(img)
     assert 0 < len(tables.piece_keys) <= fsm.MAX_PIECES
-    # spot-check: every (table, len, creg) decodes to the right symbol
+    # spot-check: every (table, code) decodes to the right (length, symbol)
+    # through the left-aligned piece map, for every possible bit padding
+    import bisect
+
     for header, table in img.huffman.items():
         tbl_id = (header >> 4) * 2 + (header & 0x0F)
         code = 0
@@ -115,12 +121,40 @@ def test_fsm_piecewise_tables_cover_annex_k():
         for length in range(1, 17):
             n = int(table.counts[length - 1])
             for i in range(n):
-                skey = (tbl_id << 21) | (length << 16) | (code + i)
-                # emulate the BST: last piece with key <= skey
-                import bisect
-
-                j = bisect.bisect_right(tables.piece_keys, skey) - 1
-                sym = tables.piece_bases[j] + (code + i)
-                assert sym == int(table.symbols[k + i]), (header, length, i)
+                for pad in (0, (1 << (16 - length)) - 1):  # 0s and 1s
+                    peek = ((code + i) << (16 - length)) | pad
+                    key = (tbl_id << 16) | peek
+                    j = bisect.bisect_right(tables.piece_keys, key) - 1
+                    packed = tables.piece_vals[j]
+                    got_len = packed >> 17
+                    base = (packed & 0x1FFFF) - 0x10000
+                    assert got_len == length, (header, length, i, pad)
+                    sym = base + (peek >> (16 - got_len))
+                    assert sym == int(table.symbols[k + i]), (header, length, i)
             k += n
             code = (code + n) << 1
+
+
+def test_fsm_invalid_peek_maps_to_invalid_piece():
+    # Peeks above the last canonical code (the T.81 reserved all-ones
+    # region) must land on an INVALID_LEN piece, never a valid code.
+    import bisect
+
+    img = parse(make_jpeg(shape=(32, 32), seed=0))
+    tables = fsm.build_tables(img)
+    for header, table in img.huffman.items():
+        tbl_id = (header >> 4) * 2 + (header & 0x0F)
+        cover_end = 0
+        code = 0
+        for length in range(1, 17):
+            n = int(table.counts[length - 1])
+            code += n
+            if n:
+                cover_end = code << (16 - length)
+            code <<= 1
+        if cover_end >= 1 << 16:
+            continue  # complete table: no invalid region
+        for peek in (cover_end, 0xFFFF):
+            key = (tbl_id << 16) | peek
+            j = bisect.bisect_right(tables.piece_keys, key) - 1
+            assert (tables.piece_vals[j] >> 17) == fsm.INVALID_LEN

@@ -1,27 +1,35 @@
-"""Gather-free vectorized entropy decode: the column-synchronous bit FSM.
+"""Gather-free vectorized entropy decode: the column-synchronous symbol FSM.
 
 This is the TPU-native answer to the reference's parallel Huffman decoder
 (cuda-decoder/src/parser.cu:50-208).  Measurement drove the design: on TPU,
 XLA lowers dynamic gather AND scatter to ~8 ns/element serial loops, so any
 decoder that does per-symbol table lookups by dynamic index (including the
-lockstep gather decoder in ops/entropy.py) is capped near 100 MB/s.  The
+lockstep gather decoder in ops/entropy.py) is capped near 25 MB/s.  The
 FSM decoder therefore contains **zero dynamically-indexed memory ops**:
 
   * lanes  = entropy segments (restart intervals), exactly parallel;
   * the scan walks BYTE COLUMNS of a [stride, lanes] matrix — `lax.scan`
     feeds each lane its next byte with no indexing at all;
-  * each byte is processed as 8 unrolled bit substeps of a canonical-
-    Huffman finite state machine held entirely in vector registers
-    (code register + length, raw-magnitude countdown, coefficient index,
-    block counter, DC predictors);
-  * all table lookups are arithmetic: code-completion thresholds come from
-    a 64-entry index select tree (table-id x code-length), and the
-    canonical-index -> symbol map is piecewise-affine in the code value
-    (canonical JPEG tables are runs of consecutive symbols), evaluated as
-    a constant-pivot binary select tree — compare/select ops on the VPU,
-    never a memory gather;
+  * each lane keeps a 32-bit *bit buffer*; every scan column refills it
+    with one byte and then runs K **symbol steps** (not bit steps — this
+    is the v2 redesign that cut the op count ~3x): one step decodes a
+    whole Huffman code *and* its magnitude bits in one go;
+  * the only "table lookup" per step is arithmetic: left-aligned canonical
+    Huffman codes are CONTIGUOUS and INCREASING in the 16-bit peek window,
+    so (code length, symbol) is a piecewise-affine function of
+    `tbl << 16 | peek16`, evaluated as one constant-pivot binary select
+    tree returning a packed (length, symbol-base) value — compare/select
+    ops on the VPU, never a memory gather;
+  * DC coefficients are emitted as DPCM *differences*; predictors are
+    resolved afterwards by one per-lane segmented cumsum on device (the
+    reference's 3-thread DC prefix pass, parser.cu:198-206, as one vector
+    op).  A size-0 DC difference therefore emits nothing at all;
+  * each step additionally consumes a trailing EOB code and a trailing
+    size-0 DC code when the next bits match them exactly, so runs of
+    empty blocks (flat image regions — the worst case for symbols/byte)
+    cost one step per ~1.5 blocks instead of three;
   * decoded coefficients are emitted as packed (block, zigzag, value)
-    events into per-byte slots (scan ys), then materialized WITHOUT
+    events into per-step slots (scan ys), then materialized WITHOUT
     scatter by two butterfly networks of uniform rolls + selects:
     a stable compaction (events -> front of each lane column) and a
     monotone spread (event rank -> 64*block + zigzag position).  Both are
@@ -30,12 +38,18 @@ FSM decoder therefore contains **zero dynamically-indexed memory ops**:
 
 The result is a decode whose wall-clock scales with VPU width (add lanes =
 add segments/images) instead of with gather latency, and whose serial depth
-is bits-per-segment — the same quantity the reference's speculative
+is bytes-per-segment — the same quantity the reference's speculative
 self-synchronization attacks (SURVEY §2.7).
 
 Bit-exactness contract: identical to tpujpeg.oracle.decoder.entropy_decode
 (EXTEND per reference utils.cu:34-41, AC RLE/EOB/ZRL per cpp
 parser.cpp:105-142, DC DPCM reset per restart segment).
+
+Envelope: the decoder latches two distinct error classes per lane —
+*malformed* (invalid code, coefficient index overrun, truncation) and
+*outside-envelope* (more than K symbols/byte sustained long enough to
+overflow the 32-bit buffer; conformant but pathological).  Callers fall
+back to the host decoder on either, but report them differently.
 """
 
 from __future__ import annotations
@@ -53,7 +67,8 @@ from ..io.parser import JpegImage
 
 MAX_BLOCKS_PER_LANE = 8191  # blk field is 13 bits in the packed event
 MAX_PIECES = 512
-EMIT_SLOTS = 4  # max coefficient completions per lane-byte
+STEPS_PER_BYTE = 3  # symbol steps per scan column (see envelope note above)
+INVALID_LEN = 31    # code length marking the invalid top gap of a table
 
 
 # ---------------------------------------------------------------------------
@@ -65,50 +80,64 @@ EMIT_SLOTS = 4  # max coefficient completions per lane-byte
 class FsmTables:
     """Per-batch Huffman constants, hashable (jit static arg).
 
-    lim[t][l]    : maxcode+1 for table t, code length l+1 (0 = no codes).
-    pieces       : sorted (skey, base) pairs; for a completed code creg of
-                   length clen in table t, sym = base + creg where (skey,
-                   base) is the last piece with skey <= t<<21 | clen<<16 | creg.
+    piece_keys   : sorted (tbl << 16 | leftcode16) piece boundaries, where
+                   leftcode16 is the code left-aligned in a 16-bit window.
+                   Canonical codes tile [0, top) contiguously in this
+                   space, so the piece holding a 16-bit peek is the last
+                   piece with key <= (tbl << 16 | peek16).
+    piece_vals   : packed (length << 17 | base + 0x10000); for a peek in
+                   the piece, sym = base + (peek >> (16 - length)).
+                   length == INVALID_LEN marks the invalid gap above the
+                   last code (streams never produce it; latches err).
+    eob_len/code : per table set, the AC table's EOB (sym 0) code, or
+                   length 0 when absent.
+    dc0_len/code : per table set, the DC table's size-0 (sym 0) code, or
+                   length 0 when absent.
     tsel[bim]    : table set (0/1) of the component of MCU block bim.
     comp[bim]    : component index of MCU block bim.
     n_comp       : number of frame components.
     """
 
-    lim: tuple  # [4][16] ints
     piece_keys: tuple
-    piece_bases: tuple
+    piece_vals: tuple
+    eob_len: tuple
+    eob_code: tuple
+    dc0_len: tuple
+    dc0_code: tuple
     tsel: tuple
     comp: tuple
     n_comp: int
 
 
-def _table_constants(table: HuffmanTable, tbl_id: int):
-    """(lim[16], pieces) for one canonical table."""
+def _table_pieces(table: HuffmanTable, tbl_id: int):
+    """Pieces of one canonical table in left-aligned 16-bit peek space."""
     counts = np.asarray(table.counts, np.int64)
     symbols = np.asarray(table.symbols, np.int64)
-    lim = [0] * 16
-    pieces = []
+    pieces = []  # (key, length, base)
     code = 0
     k = 0
+    cover_end = 0
     for length in range(1, 17):
         n = int(counts[length - 1])
         if n:
-            mincode = code
-            lim[length - 1] = code + n  # maxcode + 1
             run_start = 0
-            for i in range(n):
-                if i and symbols[k + i] != symbols[k + i - 1] + 1:
-                    pieces.append((length, mincode + run_start,
-                                   int(symbols[k + run_start]) - (mincode + run_start)))
+            for i in range(1, n + 1):
+                if i == n or symbols[k + i] != symbols[k + i - 1] + 1:
+                    c0 = code + run_start
+                    pieces.append(
+                        ((c0 << (16 - length)), length,
+                         int(symbols[k + run_start]) - c0)
+                    )
                     run_start = i
-            pieces.append((length, mincode + run_start,
-                           int(symbols[k + run_start]) - (mincode + run_start)))
             k += n
             code += n
+            cover_end = code << (16 - length)
         code <<= 1
-    keyed = [((tbl_id << 21) | (length << 16) | creg_lo, base)
-             for (length, creg_lo, base) in pieces]
-    return lim, keyed
+    if cover_end < (1 << 16):  # invalid top gap (all-ones region, T.81 C.2)
+        pieces.append((cover_end, INVALID_LEN, 0))
+    keyed = [((tbl_id << 16) | key, (length << 17) | (base + 0x10000))
+             for (key, length, base) in pieces]
+    return keyed
 
 
 def build_tables(img: JpegImage) -> FsmTables:
@@ -129,8 +158,11 @@ def build_tables(img: JpegImage) -> FsmTables:
                 raise JpegError("fsm: more than two Huffman table sets")
             set_of[c.dc_table_id] = len(set_of)
 
-    lim = [[0] * 16 for _ in range(4)]
     pieces: list[tuple[int, int]] = []
+    eob_len = [0, 0]
+    eob_code = [0, 0]
+    dc0_len = [0, 0]
+    dc0_code = [0, 0]
     for tid, s in set_of.items():
         dc = img.huffman.get(tid)
         ac = img.huffman.get(0x10 | tid)
@@ -141,10 +173,11 @@ def build_tables(img: JpegImage) -> FsmTables:
         if ac.symbols.size and int(np.max(ac.symbols) & 0x0F) > 10:
             raise JpegError("fsm: AC size symbol > 10 overflows packed event")
         for is_ac, table in ((0, dc), (1, ac)):
-            tbl_id = is_ac * 2 + s
-            lim_t, keyed = _table_constants(table, tbl_id)
-            lim[tbl_id] = lim_t
-            pieces.extend(keyed)
+            pieces.extend(_table_pieces(table, is_ac * 2 + s))
+        eob_len[s] = int(ac.lengths[0])
+        eob_code[s] = int(ac.codes[0])
+        dc0_len[s] = int(dc.lengths[0])
+        dc0_code[s] = int(dc.codes[0])
     pieces.sort()
     if len(pieces) > MAX_PIECES:
         raise JpegError("fsm: Huffman tables too irregular")
@@ -156,9 +189,12 @@ def build_tables(img: JpegImage) -> FsmTables:
             tsel.append(set_of[c.dc_table_id])
             comp.append(ci)
     return FsmTables(
-        lim=tuple(tuple(row) for row in lim),
         piece_keys=tuple(k for k, _ in pieces),
-        piece_bases=tuple(b for _, b in pieces),
+        piece_vals=tuple(v for _, v in pieces),
+        eob_len=tuple(eob_len),
+        eob_code=tuple(eob_code),
+        dc0_len=tuple(dc0_len),
+        dc0_code=tuple(dc0_code),
         tsel=tuple(tsel),
         comp=tuple(comp),
         n_comp=len(img.components),
@@ -274,7 +310,7 @@ def _bst_tree(key: jnp.ndarray, keys: tuple, values: tuple) -> jnp.ndarray:
     """value of the last entry with keys[i] <= key (keys sorted ascending).
 
     Constant-pivot binary select tree; key must be >= keys[0] for a
-    meaningful result (guaranteed: callers mask incomplete codes).
+    meaningful result (guaranteed: table 0's pieces start at key 0).
     """
 
     def rec(lo: int, hi: int) -> jnp.ndarray:  # entries [lo, hi)
@@ -297,155 +333,169 @@ def _fsm_scan(
     tables: FsmTables,
     start_bits=None,
     start_bim=None,
-    dc_diff: bool = False,
     chunk_bits=None,
+    steps: int = STEPS_PER_BYTE,
 ):
-    """Run the bit FSM over byte columns.
+    """Run the symbol FSM over byte columns.
 
     Restart mode (defaults): every lane starts at bit 0 of its row with a
-    fresh DC predictor.  Speculative mode: `start_bits`/`start_bim` give
-    each lane its handoff state (bit offset into its row, MCU block phase)
-    from the Jacobi boundary iteration, and `dc_diff=True` emits raw DC
-    differences (predictors are unknowable mid-stream; a global segmented
-    cumsum resolves DPCM afterwards — the 3-thread prefix pass of the
-    reference, parser.cu:198-206, as one vector op).
+    fresh DC chain.  Speculative mode: `start_bits`/`start_bim` give each
+    lane its handoff state (bit offset into its row, MCU block phase) from
+    the Jacobi boundary iteration.  DC is always emitted as differences;
+    _decode_jit resolves predictors with a per-lane cumsum (restart mode)
+    or leaves them raw for the global cumsum (speculative mode).
 
-    Returns (events int32 [stride, EMIT_SLOTS, L], err bool [L], state).
+    Returns (events int32 [stride, steps, L],
+             (err_malformed, err_envelope) bool [L], state).
     """
     L = xs.shape[1]
     bpm = len(tables.comp)
-    lim_flat = [tables.lim[t][l] for t in range(4) for l in range(16)]
+    tsel_list = list(tables.tsel)
+    comp_pad = 0  # comp kept host-side; not needed in the scan (DC = diffs)
+    del comp_pad
     zero = jnp.zeros(L, jnp.int32)
 
-    def substep(st, byte, j, col):
-        (creg, clen, rawn, rawacc, rsize, pz, k, blk, bim, dcs, done, err,
-         ec, slots, end_bits, end_bim) = st
-        bit = (byte >> (7 - j)) & 1
-        active = ~done & ~err
-        if start_bits is not None:
-            active = active & ((col * 8 + j) >= start_bits)
-        in_raw = rawn > 0
+    def symbol_step(st):
+        (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
+         end_bits, end_bim) = st
+        active = ~done & ~err_mal & ~err_env
 
-        # ---- raw-magnitude path (JPEG EXTEND bits) ----
-        rawacc2 = rawacc * 2 + bit
-        rawn2 = rawn - 1
-        raw_done = in_raw & (rawn2 == 0) & active
+        # ---- peek the next 16 bits, padding past end-of-buffer with 1s.
+        # Padding is safe: if the decoded length <= navail, the top bits
+        # are real stream bits, and prefix-freeness makes the code exact.
+        sa = jnp.maximum(navail - 16, 0)
+        sb = jnp.maximum(16 - navail, 0)
+        peek = jnp.where(
+            navail >= 16,
+            buf >> sa,
+            (buf << sb) | ((1 << sb) - 1),
+        ) & 0xFFFF
 
-        # ---- Huffman code path ----
-        h_active = active & ~in_raw
-        creg2 = creg * 2 + bit
-        clen2 = clen + 1
+        # ---- one piecewise-affine evaluation -> (code length, symbol)
         is_dc = k == 0
-        tsel = _index_tree(bim, list(tables.tsel))
-        comp = _index_tree(bim, list(tables.comp))
+        tsel = _index_tree(bim, tsel_list)
         tbl = jnp.where(is_dc, tsel, tsel + 2)
-        lim = _index_tree(tbl * 16 + (clen2 - 1), lim_flat)
-        complete = h_active & (creg2 < lim)
-        skey = (tbl << 21) | (clen2 << 16) | creg2
-        sym = _bst_tree(skey, tables.piece_keys, tables.piece_bases) + creg2
+        packed = _bst_tree((tbl << 16) | peek, tables.piece_keys,
+                           tables.piece_vals)
+        length = packed >> 17
+        base = (packed & 0x1FFFF) - 0x10000
+        code = peek >> jnp.clip(16 - length, 0, 16)
+        sym = (base + code) & 0xFF
         size = sym & 15
         run = sym >> 4
-        eob = (sym == 0) & ~is_dc
-        z_ac = k + run
-        goes_raw = complete & (size > 0)
-        emit_dc_now = complete & is_dc & (size == 0)
-        k_code0 = jnp.where(is_dc, 1, jnp.where(eob, 64, z_ac + 1))
 
-        # ---- EXTEND at raw completion (reference utils.cu:34-41) ----
-        half = 1 << jnp.maximum(rsize - 1, 0)
-        val_raw = jnp.where(rawacc2 >= half, rawacc2, rawacc2 - 2 * half + 1)
-        raw_is_dc = is_dc  # k stayed 0 through a DC magnitude
+        need = length + size
+        complete = active & (length <= 16) & (navail >= need)
+        err_mal = err_mal | (active & (length > 16) & (navail >= 16))
 
-        dc_here = zero
-        dcs2 = []
-        for ci in range(tables.n_comp):
-            sel = comp == ci
-            dc_new = dcs[ci] + jnp.where(raw_done & raw_is_dc & sel, val_raw, 0)
-            dcs2.append(dc_new)
-            dc_here = jnp.where(sel, dc_new, dc_here)
+        # ---- magnitude bits + EXTEND (reference utils.cu:34-41)
+        mag = (buf >> jnp.clip(navail - need, 0, 31)) & ((1 << size) - 1)
+        half = 1 << jnp.maximum(size - 1, 0)
+        val = jnp.where(mag >= half, mag, mag - 2 * half + 1)
 
-        emit = emit_dc_now | (raw_done & (raw_is_dc | (pz < 64)))
-        # diff mode: a size-0 DC symbol means difference 0 (emit_dc_now
-        # fires without any magnitude bits, so val_raw is stale there)
-        dc_emit = jnp.where(emit_dc_now, 0, val_raw) if dc_diff else dc_here
-        emit_val = jnp.where(raw_done & ~raw_is_dc, val_raw, dc_emit)
-        emit_z = jnp.where(raw_done & ~raw_is_dc, pz, 0)
+        # ---- classification + emit (DC emits its DPCM difference;
+        # size 0 emits nothing at all — the cumsum supplies the predictor)
+        eob = complete & ~is_dc & (sym == 0)
+        z = jnp.where(is_dc, zero, k + run)
+        emit = complete & (size > 0)
+        err_mal = err_mal | (emit & ~is_dc & (z > 63))
+        event = jnp.where(emit, (blk << 18) | (z << 12) | (val + 2048),
+                          jnp.int32(-1))
 
-        # ---- coefficient/block bookkeeping ----
-        fired = raw_done | (complete & ~goes_raw)
-        k3 = jnp.where(raw_done, jnp.where(raw_is_dc, 1, pz + 1),
-                       jnp.where(complete & ~goes_raw, k_code0, k))
-        block_end = fired & (k3 >= 64)
+        k2 = jnp.where(complete,
+                       jnp.where(is_dc, 1, jnp.where(eob, 64, z + 1)), k)
+        consumed = jnp.where(complete, need, 0)
+        navail = navail - consumed
+        bitpos = bitpos + consumed
+
+        # ---- trailing EOB: if the block is still open and the next bits
+        # are exactly this set's EOB code, consume it now (keeps runs of
+        # near-empty blocks inside the K-steps/byte envelope)
+        el = _index_tree(tsel, list(tables.eob_len))
+        ec = _index_tree(tsel, list(tables.eob_code))
+        can_eob = complete & (k2 < 64) & (el > 0) & (navail >= el)
+        bits_e = (buf >> jnp.clip(navail - el, 0, 31)) & ((1 << el) - 1)
+        eob_fire = can_eob & (bits_e == ec)
+        navail = navail - jnp.where(eob_fire, el, 0)
+        bitpos = bitpos + jnp.where(eob_fire, el, 0)
+
+        # ---- block / segment bookkeeping
+        block_end = (complete & (k2 >= 64)) | eob_fire
         blk2 = blk + block_end.astype(jnp.int32)
         bim2 = jnp.where(block_end,
                          jnp.where(bim + 1 == bpm, 0, bim + 1), bim)
-        k4 = jnp.where(block_end, 0, k3)
-        done2 = done | (blk2 >= seg_n_blocks)
+        k3 = jnp.where(block_end, 0, k2)
+        done_now = block_end & (blk2 >= seg_n_blocks)
         if chunk_bits is not None:
             # speculative count: stop at the first block boundary at or
             # past the lane's chunk end (the reference's overflow rule,
             # parser.cu:156-173)
-            done2 = done2 | (block_end & (col * 8 + j + 1 >= chunk_bits))
-        newly_done = done2 & ~done
-        end_bits = jnp.where(newly_done, col * 8 + j + 1, end_bits)
-        end_bim = jnp.where(newly_done, bim2, end_bim)
+            done_now = done_now | (block_end & (bitpos >= chunk_bits))
+        done2 = done | done_now
+        newly = done2 & ~done
+        end_bits = jnp.where(newly, bitpos, end_bits)
+        end_bim = jnp.where(newly, bim2, end_bim)
 
-        packed = (blk << 18) | (emit_z << 12) | (emit_val + 2048)
-        slots2 = tuple(
-            jnp.where(emit & (ec == i), packed, slots[i])
-            for i in range(EMIT_SLOTS)
-        )
-        ec2 = ec + emit.astype(jnp.int32)
+        # ---- trailing size-0 DC of the next block (same envelope logic)
+        ts2 = _index_tree(bim2, tsel_list)
+        dl = _index_tree(ts2, list(tables.dc0_len))
+        dcc = _index_tree(ts2, list(tables.dc0_code))
+        can_dc0 = block_end & ~done2 & (dl > 0) & (navail >= dl)
+        bits_d = (buf >> jnp.clip(navail - dl, 0, 31)) & ((1 << dl) - 1)
+        dc0_fire = can_dc0 & (bits_d == dcc)
+        navail = navail - jnp.where(dc0_fire, dl, 0)
+        bitpos = bitpos + jnp.where(dc0_fire, dl, 0)
+        k4 = jnp.where(dc0_fire, 1, k3)
 
-        err2 = (
-            err
-            | (h_active & (clen2 >= 17))                      # overlong code
-            | (emit & (ec >= EMIT_SLOTS))                     # slot overflow
-            | (emit & (((emit_val + 2048) & ~0xFFF) != 0))    # value overflow
-        )
-
-        creg3 = jnp.where(h_active, jnp.where(complete, 0, creg2), creg)
-        clen3 = jnp.where(h_active, jnp.where(complete, 0, clen2), clen)
-        rawn3 = jnp.where(in_raw & active, rawn2, jnp.where(goes_raw, size, rawn))
-        rawacc3 = jnp.where(goes_raw, 0, jnp.where(in_raw & active, rawacc2, rawacc))
-        rsize3 = jnp.where(goes_raw, size, rsize)
-        pz2 = jnp.where(goes_raw, jnp.where(is_dc, 0, z_ac), pz)
-
-        return (creg3, clen3, rawn3, rawacc3, rsize3, pz2, k4, blk2, bim2,
-                tuple(dcs2), done2, err2, ec2, slots2, end_bits, end_bim)
+        return (buf, navail, bitpos, k4, blk2, bim2, done2, err_mal, err_env,
+                end_bits, end_bim), event
 
     def body(st, col_and_byte):
         col, byte_u8 = col_and_byte
         byte = byte_u8.astype(jnp.int32)
-        # fresh emit slots each byte
-        st = (
-            st[:12]
-            + (zero, tuple(jnp.full(L, -1, jnp.int32) for _ in range(EMIT_SLOTS)))
-            + st[14:]
-        )
-        for j in range(8):
-            st = substep(st, byte, j, col)
-        return st, jnp.stack(st[13])
+        (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
+         end_bits, end_bim) = st
+        active = ~done & ~err_mal & ~err_env
+        if start_bits is None:
+            take = jnp.where(active, 8, 0)
+        else:
+            take = jnp.where(active,
+                             8 - jnp.clip(start_bits - col * 8, 0, 8), 0)
+        overflow = navail + take > 32
+        err_env = err_env | (active & overflow & (take > 0))
+        take = jnp.where(overflow, 0, take)
+        buf = (buf << take) | (byte & ((1 << take) - 1))
+        navail = navail + take
+        st = (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
+              end_bits, end_bim)
+        events = []
+        for _ in range(steps):
+            st, ev = symbol_step(st)
+            events.append(ev)
+        return st, jnp.stack(events)
 
     init = (
-        zero, zero, zero, zero, zero, zero, zero, zero,
-        zero if start_bim is None else start_bim,
-        tuple(zero for _ in range(tables.n_comp)),
-        seg_n_blocks == 0,
-        jnp.zeros(L, bool),
-        zero,
-        tuple(jnp.full(L, -1, jnp.int32) for _ in range(EMIT_SLOTS)),
-        zero,
-        zero if start_bim is None else start_bim,
+        zero,                                    # buf
+        zero,                                    # navail
+        zero if start_bits is None else start_bits,  # bitpos
+        zero,                                    # k
+        zero,                                    # blk
+        zero if start_bim is None else start_bim,    # bim
+        seg_n_blocks == 0,                       # done
+        jnp.zeros(L, bool),                      # err_malformed
+        jnp.zeros(L, bool),                      # err_envelope
+        zero,                                    # end_bits
+        zero if start_bim is None else start_bim,    # end_bim
     )
     cols = jnp.arange(xs.shape[0], dtype=jnp.int32)
     st, events = jax.lax.scan(body, init, (cols, xs))
-    err = st[11] | ~st[10]  # undone lane at end of data = truncated
+    err_mal = st[7] | ~st[6]  # undone lane at end of data = truncated
+    err_env = st[8]
     # NB: the full carry is returned (and surfaced through the jit below)
     # on purpose: XLA:CPU (observed on jax 0.9.0) miscompiles scans whose
     # carry outputs are dead — execution spins forever.  Keeping every
     # carry live costs a few [L] vectors and sidesteps the bug.
-    return events, err, st
+    return events, (err_mal, err_env), st
 
 
 # ---------------------------------------------------------------------------
@@ -524,11 +574,47 @@ def _spread(valid, payload, target, M):
 
 
 # ---------------------------------------------------------------------------
+# DC predictor resolution (per-lane segmented cumsum)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_dc(per_lane: jnp.ndarray, tables: FsmTables, max_blk: int):
+    """Accumulate per-component DC differences down each lane.
+
+    Every lane is a restart segment, so its DC chains start at 0 — the
+    per-lane cumsum IS the DPCM resolution (reference parser.cu:198-206;
+    RST predictor reset per T.81 E.2.4).  Blocks whose DC difference was
+    zero emitted no event, so their slot holds 0 and the cumsum carries
+    the predictor through — which is why the FSM never emits size-0 DCs.
+    """
+    L = per_lane.shape[0]
+    bpm = len(tables.comp)
+    n_mcu = -(-max_blk // bpm)
+    pad = n_mcu * bpm - max_blk
+    dc = per_lane[:, :, 0]
+    if pad:
+        dc = jnp.concatenate([dc, jnp.zeros((L, pad), dc.dtype)], axis=1)
+    dc3 = dc.reshape(L, n_mcu, bpm)
+    cols = []
+    base = 0
+    for ci in range(tables.n_comp):
+        nb = sum(1 for c in tables.comp if c == ci)
+        sub = dc3[:, :, base : base + nb]  # comp blocks are bim-contiguous
+        acc = jnp.cumsum(sub.reshape(L, n_mcu * nb), axis=1)
+        cols.append(acc.reshape(L, n_mcu, nb))
+        base += nb
+    dc_new = jnp.concatenate(cols, axis=2).reshape(L, n_mcu * bpm)[:, :max_blk]
+    return jnp.concatenate([dc_new[:, :, None], per_lane[:, :, 1:]], axis=2)
+
+
+# ---------------------------------------------------------------------------
 # Full jitted decode
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("tables", "max_blk", "dc_diff"))
+@functools.partial(
+    jax.jit, static_argnames=("tables", "max_blk", "dc_diff", "steps")
+)
 def _decode_jit(
     xs,
     seg_n_blocks,
@@ -538,17 +624,20 @@ def _decode_jit(
     start_bits=None,
     start_bim=None,
     dc_diff: bool = False,
+    steps: int = STEPS_PER_BYTE,
 ):
     """FSM + butterflies: (per_lane int32 [L, max_blk, 64], err bool [L]).
 
     Deliberately independent of the batch's image layout so one compile
     serves every batch with the same (stride, lanes, tables, capacity);
     assembly into [n_blocks, 64] is a cheap layout-keyed step on top.
-    The optional start state + dc_diff serve the speculative-split path.
+    The optional start state serves the speculative-split path; dc_diff
+    leaves DC as raw differences for it (restart mode resolves DPCM with
+    the per-lane cumsum).
     """
-    events, err, scan_state = _fsm_scan(
+    events, (err_mal, err_env), scan_state = _fsm_scan(
         xs, seg_n_blocks, tables,
-        start_bits=start_bits, start_bim=start_bim, dc_diff=dc_diff,
+        start_bits=start_bits, start_bim=start_bim, steps=steps,
     )
     stride, S, L = events.shape
     ev = events.reshape(stride * S, L)
@@ -561,7 +650,9 @@ def _decode_jit(
     M = max_blk * 64
     coeffs_t = _spread(cv, val, target, M)       # [M, L]
     per_lane = coeffs_t.T.reshape(L, max_blk, 64)
-    return per_lane, err, scan_state
+    if not dc_diff:
+        per_lane = _resolve_dc(per_lane, tables, max_blk)
+    return per_lane, (err_mal, err_env), scan_state
 
 
 def assemble(per_lane: np.ndarray, layout) -> np.ndarray:
@@ -599,14 +690,18 @@ def assemble_batched(per_lane: jnp.ndarray, *, layout, pad_to: int):
 
 
 def decode_plan(plan: FsmPlan):
-    """Run the FSM decoder -> (per_lane [L, max_blk, 64] device, err [L])."""
-    per_lane, err, _ = _decode_jit(
+    """Run the FSM decoder -> (per_lane [L, max_blk, 64] device, err masks).
+
+    Returns (per_lane, (err_malformed, err_envelope)); or-ing the masks
+    gives the per-lane failure flag.
+    """
+    per_lane, errs, _ = _decode_jit(
         jnp.asarray(plan.xs),
         jnp.asarray(plan.seg_n_blocks),
         tables=plan.tables,
         max_blk=plan.max_blk,
     )
-    return per_lane, err
+    return per_lane, errs
 
 
 def entropy_decode_fsm(imgs: list[JpegImage]) -> np.ndarray:
@@ -616,9 +711,15 @@ def entropy_decode_fsm(imgs: list[JpegImage]) -> np.ndarray:
     (callers fall back to the host runtime).
     """
     plan = build_plan(imgs)
-    per_lane, err = decode_plan(plan)
-    if bool(jax.device_get(jnp.any(err))):
+    per_lane, (err_mal, err_env) = decode_plan(plan)
+    mal, env = (bool(jax.device_get(jnp.any(e))) for e in (err_mal, err_env))
+    if mal:
         raise JpegError("fsm decode failed (malformed or truncated scan)")
+    if env:
+        raise JpegError(
+            "fsm: stream outside the decode envelope "
+            f"(> {STEPS_PER_BYTE} symbols/byte sustained)"
+        )
     return assemble(np.asarray(jax.device_get(per_lane)), plan.layout)
 
 
@@ -634,10 +735,10 @@ def entropy_decode_fsm(imgs: list[JpegImage]) -> np.ndarray:
 # true start is lane i-1's end, lane 0's start is exact, so after k
 # iterations lanes 0..k are exact — and Huffman self-synchronization makes
 # convergence take a handful of rounds in practice.  The count pass is the
-# same bit FSM in count mode (stop at the first block boundary at or past
-# the chunk end); the final pass reuses the full decoder with per-lane
-# block quotas and DC-difference emission, with DPCM resolved by one
-# segmented cumsum (the reference's 3-thread DC prefix pass,
+# same symbol FSM in count mode (stop at the first block boundary at or
+# past the chunk end); the final pass reuses the full decoder with
+# per-lane block quotas and DC-difference emission, with DPCM resolved by
+# one segmented cumsum (the reference's 3-thread DC prefix pass,
 # parser.cu:198-206).
 
 SPEC_OVERLAP = 384  # bytes a block may straddle past its chunk (max ~213)
@@ -658,13 +759,13 @@ class SpecPlan:
 @functools.partial(jax.jit, static_argnames=("tables", "blk_cap"))
 def _count_jit(xs, chunk_bits, start_bits, start_bim, *, tables, blk_cap):
     caps = jnp.full(chunk_bits.shape, blk_cap, jnp.int32)
-    events, err, st = _fsm_scan(
+    events, (err_mal, err_env), st = _fsm_scan(
         xs, caps, tables,
         start_bits=start_bits, start_bim=start_bim, chunk_bits=chunk_bits,
     )
-    # end_bits/end_bim/blk: st[14], st[15], st[7].  Full state surfaced to
+    # end_bits/end_bim/blk: st[9], st[10], st[4].  Full state surfaced to
     # keep every scan carry live (see the XLA:CPU note in _fsm_scan).
-    return st[14], st[15], st[7], err, st, events[0, 0]
+    return st[9], st[10], st[4], err_mal | err_env, st, events[0, 0]
 
 
 def build_spec_plan(img: JpegImage, chunk_bytes: int = 2048) -> SpecPlan:
@@ -742,13 +843,13 @@ def decode_speculative(
         raise JpegError("speculative split found inconsistent block counts")
     quotas[S - 1] = last
 
-    per_lane, err, _ = _decode_jit(
+    per_lane, (err_mal, err_env), _ = _decode_jit(
         xs, jnp.asarray(quotas),
         tables=plan.tables, max_blk=plan.blk_cap,
         start_bits=jnp.asarray(start_bits), start_bim=jnp.asarray(start_bim),
         dc_diff=True,
     )
-    if bool(jax.device_get(jnp.any(err))):
+    if bool(jax.device_get(jnp.any(err_mal | err_env))):
         raise JpegError("speculative decode failed (malformed scan)")
     pl = np.asarray(jax.device_get(per_lane))
     coeffs = np.concatenate([pl[i, : quotas[i]] for i in range(S)])

@@ -71,9 +71,12 @@ class _BitReader:
     __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: np.ndarray, start_byte: int = 0):
-        # Pad so peeks near the end stay in bounds (trailing garbage bits are
-        # never consumed by a conforming stream).
-        self.data = np.concatenate([data, np.zeros(4, np.uint8)]).astype(np.uint8)
+        # Zero-pad generously so peeks stay in bounds for up to one block of
+        # runaway decode past the end; truncation is detected by the same
+        # per-block `pos > nbits + 16` rule as the native runtime
+        # (runtime/native/src/entropy.cpp:158), keeping corrupt-stream
+        # behavior bit-identical across backends.
+        self.data = np.concatenate([data, np.zeros(512, np.uint8)]).astype(np.uint8)
         self.pos = start_byte * 8
         self.nbits = data.size * 8
 
@@ -81,6 +84,12 @@ class _BitReader:
         i = self.pos >> 3
         shift = self.pos & 7
         d = self.data
+        if i + 2 >= d.size:
+            # Consumption escaped even the zero pad: the stream is truncated
+            # mid-scan.  Surface the structured error, never an IndexError.
+            raise JpegError(
+                f"scan data exhausted at bit {self.pos} (truncated stream)"
+            )
         window = (int(d[i]) << 16) | (int(d[i + 1]) << 8) | int(d[i + 2])
         return (window >> (8 - shift)) & 0xFFFF
 
@@ -149,6 +158,11 @@ def entropy_decode(img: JpegImage) -> np.ndarray:
                     k += 1
                 else:
                     reader.get_bits(size)  # mirror reference: bits consumed
+            if reader.pos > reader.nbits + 16:
+                # same truncation rule as the native runtime (entropy.cpp:158)
+                raise JpegError(
+                    f"scan data exhausted at bit {reader.pos} (truncated stream)"
+                )
             block_idx += 1
     return coeffs
 

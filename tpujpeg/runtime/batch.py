@@ -13,8 +13,10 @@ pipelined three-stage design:
        - 'fsm': the gather-free device FSM (ops/fsm.py) for
          restart-segmented streams;
        - 'oracle': the NumPy reference (debugging);
-       - 'auto': fsm when every image in a chunk fits its envelope,
-         host otherwise;
+       - 'auto': picks by a measured host->device link probe — the device
+         FSM when the link is slow (uploading dense coefficients would
+         strangle the host path), the native host decoder when the link is
+         fast and the C++ runtime is available;
   3. **pixels** — the jitted device program (dequant + inverse zigzag +
      integer IDCT + color) vmapped over a geometry bucket, sharded over
      the mesh batch axis (parallel/sharding.py).
@@ -45,6 +47,31 @@ from ..pipeline import Geometry, _repair
 from ..ops.color import unpack_mask
 from ..parallel import sharding
 
+# Host->device bandwidth below which uploading dense coefficients (≈6x the
+# compressed bytes as int16) loses to uploading scan bytes + device FSM.
+_LINK_MBPS_FSM_THRESHOLD = 200.0
+_link_mbps_cache: float | None = None
+
+
+def measured_link_mbps() -> float:
+    """One-shot host->device->host bandwidth probe (MB/s), cached.
+
+    Used by backend='auto': on a PCIe-attached TPU VM this measures
+    GB/s and the native host decoder wins; behind a slow tunnel (this
+    rig: ~50 MB/s) the scan-upload-only FSM wins (PERFORMANCE.md).
+    """
+    global _link_mbps_cache
+    if _link_mbps_cache is None:
+        buf = np.zeros(1 << 20, np.uint8)
+        dev = jax.device_put(buf)  # warm any lazy backend init
+        np.asarray(jax.device_get(dev[:8]))
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        np.asarray(jax.device_get(dev[-8:]))
+        dt = time.perf_counter() - t0
+        _link_mbps_cache = buf.nbytes / dt / 1e6
+    return _link_mbps_cache
+
 
 @dataclass
 class BatchStats:
@@ -61,6 +88,9 @@ class BatchStats:
     chunks: int = 0
     repaired_pixels: int = 0
     failures: dict = field(default_factory=dict)  # index -> error message
+    # FSM fallback accounting (VERDICT r1: envelope cliffs must be counted)
+    fsm_envelope_fallbacks: int = 0   # chunks redone on host: outside envelope
+    fsm_malformed_fallbacks: int = 0  # chunks redone on host: bad stream
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -84,9 +114,11 @@ class _Chunk:
     imgs: list[JpegImage]
     coeffs: np.ndarray | None = None   # [B, n_blocks, 64] int32 (host backend)
     coeffs_dev: object = None          # device coeffs (fsm backend)
-    err: object = None                 # device err mask (fsm backend)
+    err_mal: object = None             # device malformed mask (fsm backend)
+    err_env: object = None             # device envelope mask (fsm backend)
     out: object = None                 # device (rgb, risk, metrics)
     backend: str = ""
+    failed: dict | None = None         # local index -> message (skip mode)
 
 
 class BatchDecoder:
@@ -150,32 +182,64 @@ class BatchDecoder:
             )
         return quant
 
-    def _process_chunk_host(self, chunk: _Chunk):
+    def _process_chunk_host(self, chunk: _Chunk, isolate: bool = False):
         """Host entropy (threads + OpenMP) -> coefficient upload -> pixels.
 
         The native decoder writes int16 straight into the padded batch
         buffer: no per-image copy, and half the upload bytes (the dominant
-        cost of this path at batch scale)."""
+        cost of this path at batch scale).  isolate=True decodes failing
+        images individually: bad ones yield zero coefficients and land in
+        chunk.failed instead of raising (ADVICE r1: skip mode must survive
+        entropy-stage failures, not just parse failures)."""
         from . import host
 
         geom = chunk.geom
         B = self._pad_batch()
         native = host._load_native()
+
+        if self.backend == "oracle":
+            from ..oracle import decoder as oracle
+
+            entropy_fn = oracle.entropy_decode
+        else:
+            entropy_fn = host.entropy_decode
+
+        def one(args):
+            bi, img, out16 = args
+            try:
+                if out16 is not None:
+                    native.entropy_decode(img, out=out16)
+                    return None
+                return entropy_fn(img)
+            except JpegError as e:
+                if not isolate:
+                    raise
+                if chunk.failed is None:
+                    chunk.failed = {}
+                chunk.failed[bi] = str(e)
+                if out16 is not None:
+                    out16[:] = 0
+                return None
+
         if native is not None and self.backend != "oracle":
             # np.empty: the native decoder writes every real row in full
             # (it zero-fills internally); only padding rows need clearing.
             coeffs = np.empty((B, geom.n_blocks, 64), np.int16)
             coeffs[len(chunk.imgs) :] = 0
-            list(
-                self.pool.map(
-                    lambda t: native.entropy_decode(t[0], out=t[1]),
-                    zip(chunk.imgs, coeffs),
-                )
-            )
+            list(self.pool.map(
+                one, [(bi, im, coeffs[bi]) for bi, im in enumerate(chunk.imgs)]
+            ))
         else:
             coeffs = np.zeros((B, geom.n_blocks, 64), np.int32)
-            for bi, c in enumerate(self._entropy_host_list(chunk.imgs)):
-                coeffs[bi] = c
+            if self.backend == "oracle" and not isolate:
+                for bi, c in enumerate(self._entropy_host_list(chunk.imgs)):
+                    coeffs[bi] = c
+            else:
+                for bi, c in enumerate(self.pool.map(
+                    one, [(bi, im, None) for bi, im in enumerate(chunk.imgs)]
+                )):
+                    if c is not None:
+                        coeffs[bi] = c
         fn = sharding.compiled_batch_decoder(geom, self.mesh)
         chunk.out = fn(jnp.asarray(coeffs), jnp.asarray(self._quant_block(chunk, B)))
         chunk.coeffs = coeffs
@@ -192,18 +256,19 @@ class BatchDecoder:
             plan = fsm.build_plan(chunk.imgs)
         except JpegError:
             return False
-        per_lane, err = fsm.decode_plan(plan)
+        per_lane, (err_mal, err_env) = fsm.decode_plan(plan)
         B = self._pad_batch()
         coeffs = fsm.assemble_batched(per_lane, layout=plan.layout, pad_to=B)
         coeffs = coeffs.reshape(B, chunk.geom.n_blocks, 64)
         fn = sharding.compiled_batch_decoder(chunk.geom, self.mesh)
         chunk.out = fn(coeffs, jnp.asarray(self._quant_block(chunk, B)))
         chunk.coeffs_dev = coeffs
-        chunk.err = err
+        chunk.err_mal = err_mal
+        chunk.err_env = err_env
         chunk.backend = "fsm"
         return True
 
-    def _process_chunk(self, chunk: _Chunk):
+    def _process_chunk(self, chunk: _Chunk, isolate: bool = False):
         if self.backend == "fsm":
             if not self._process_chunk_fsm(chunk):
                 raise JpegError("fsm: chunk outside the FSM decode envelope")
@@ -211,20 +276,29 @@ class BatchDecoder:
         if self.backend == "auto":
             from . import host
 
-            # Prefer the native host decoder when present (it wins on
-            # machines with a real host<->device link); the device FSM
-            # covers hosts without a C++ toolchain.
-            if host._load_native() is None and self._process_chunk_fsm(chunk):
+            # Measured policy (PERFORMANCE.md): the device FSM uploads only
+            # scan bytes, the host path uploads ~6x the compressed size as
+            # coefficients — so a slow link (or no native runtime) means
+            # fsm, a fast link with the C++ runtime means host.
+            prefer_fsm = (
+                host._load_native() is None
+                or measured_link_mbps() < _LINK_MBPS_FSM_THRESHOLD
+            )
+            if prefer_fsm and self._process_chunk_fsm(chunk):
                 return
-        self._process_chunk_host(chunk)
+        self._process_chunk_host(chunk, isolate=isolate)
 
     def decode_parsed(
-        self, imgs: list[JpegImage], fetch: bool = True
+        self, imgs: list[JpegImage], fetch: bool = True, on_error: str = "raise"
     ) -> list[np.ndarray] | None:
         """Decode parsed images. fetch=False leaves RGB on device (the
         reference's throughput benchmark also skips the output write,
-        benchmark_thoughput/benchmark.cu:80-84)."""
+        benchmark_thoughput/benchmark.cu:80-84).
+
+        on_error='skip' isolates entropy/decode failures per image: failed
+        entries yield None and are recorded in stats.failures."""
         t_start = time.perf_counter()
+        isolate = on_error == "skip"
         chunks = self._make_chunks(imgs)
 
         t_ent = 0.0
@@ -232,17 +306,32 @@ class BatchDecoder:
             t0 = time.perf_counter()
             # async device dispatch: chunk n's device stages overlap chunk
             # n+1's host work
-            self._process_chunk(chunk)
+            try:
+                self._process_chunk(chunk, isolate=isolate)
+            except JpegError:
+                if not isolate:
+                    raise
+                # skip mode: a chunk the chosen backend cannot take (e.g.
+                # fsm outside its envelope) falls back to per-image host
+                # decode so one bad stream never poisons its chunk
+                self._process_chunk_host(chunk, isolate=True)
             t_ent += time.perf_counter() - t0
 
+        n_env = n_mal = 0
         t0 = time.perf_counter()
         for chunk in chunks:
             _force_done(chunk.out)
-            if chunk.err is not None and bool(jax.device_get(jnp.any(chunk.err))):
-                # malformed stream on the device path: redo on the host
-                # decoder, which raises a precise JpegError for bad streams
-                self._process_chunk_host(chunk)
-                _force_done(chunk.out)
+            if chunk.err_mal is not None:
+                mal = bool(jax.device_get(jnp.any(chunk.err_mal)))
+                env = bool(jax.device_get(jnp.any(chunk.err_env)))
+                if mal or env:
+                    # bad stream or outside-envelope stream on the device
+                    # path: redo on the host decoder, which raises (or, in
+                    # skip mode, records) a precise JpegError per image
+                    n_mal += int(mal)
+                    n_env += int(env and not mal)
+                    self._process_chunk_host(chunk, isolate=isolate)
+                    _force_done(chunk.out)
         t_dev = time.perf_counter() - t0
 
         self.stats = BatchStats(
@@ -254,7 +343,13 @@ class BatchDecoder:
             total_s=time.perf_counter() - t_start,
             backend="+".join(sorted({c.backend for c in chunks})),
             chunks=len(chunks),
+            fsm_envelope_fallbacks=n_env,
+            fsm_malformed_fallbacks=n_mal,
         )
+        for chunk in chunks:
+            if chunk.failed:
+                for bi, msg in chunk.failed.items():
+                    self.stats.failures[chunk.indices[bi]] = msg
         if not fetch:
             return None
 
@@ -266,6 +361,8 @@ class BatchDecoder:
             risk_h = np.asarray(jax.device_get(risk)) if self.strict else None
             coeffs_h = chunk.coeffs
             for bi, i in enumerate(chunk.indices):
+                if chunk.failed and bi in chunk.failed:
+                    continue
                 img = chunk.imgs[bi]
                 out = rgb_h[bi]
                 if self.strict:
@@ -296,26 +393,33 @@ class BatchDecoder:
             bad: dict[int, str] = {}
         elif on_error == "skip":
             imgs, bad = [], {}
+            pos_of = []
             for i, res in enumerate(
                 self.pool.map(lambda d: _try_parse(d), datas)
             ):
                 if isinstance(res, JpegImage):
+                    pos_of.append(i)
                     imgs.append(res)
                 else:
                     bad[i] = res
         else:
             raise ValueError(f"on_error={on_error!r}")
         t_parse = time.perf_counter() - t0
-        out = self.decode_parsed(imgs, fetch=fetch)
+        out = self.decode_parsed(imgs, fetch=fetch, on_error=on_error)
         self.stats.parse_s = t_parse
         self.stats.total_s += t_parse
-        self.stats.failures = bad
-        if bad and out is not None:
-            full: list = []
-            it = iter(out)
-            for i in range(len(datas)):
-                full.append(None if i in bad else next(it))
-            return full
+        if bad:
+            # merge parse failures with decode failures (rebased to the
+            # caller's original indices)
+            decode_failures = {
+                pos_of[j]: msg for j, msg in self.stats.failures.items()
+            }
+            self.stats.failures = {**bad, **decode_failures}
+            if out is not None:
+                full: list = [None] * len(datas)
+                for j, i in enumerate(pos_of):
+                    full[i] = out[j]
+                return full
         return out
 
 
