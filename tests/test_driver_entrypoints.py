@@ -18,7 +18,7 @@ def test_bench_emits_one_json_line():
     env.update(
         JAX_PLATFORMS="cpu",
         PYTHONPATH=REPO,
-        JAX_COMPILATION_CACHE_DIR="/tmp/tpujpeg-jax-cache",
+        JAX_COMPILATION_CACHE_DIR=os.path.expanduser("~/.cache/tpujpeg-jax-cache"),
     )
     out = subprocess.run(
         [

@@ -7,6 +7,8 @@ graphs once per table/geometry family (axon/CPU compiles are minutes).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # spec graphs are the longest compiles
+
 from tpujpeg.errors import JpegError
 from tpujpeg.io.parser import parse
 from tpujpeg.ops import fsm

@@ -1,0 +1,180 @@
+"""Stage-level device profiling for the FSM decode path.
+
+Answers, with wall-clock on the real chip (or CPU), where a chunk's device
+time actually goes — dispatch floor, FSM scan, butterflies, DC cumsum,
+assemble, pixel program — and how the scan scales with lanes (latency- vs
+throughput-bound).  Every timing fences on fetching real output elements
+(axon's block_until_ready lies; CLAUDE.md).
+
+Usage: python tools/profile_decode.py [--images 32] [--size 640] [--iters 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/tpujpeg-jax-cache")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+
+import numpy as np
+
+
+def _fence(x) -> None:
+    import jax
+
+    arr = x
+    while isinstance(arr, (tuple, list)):
+        arr = arr[0]
+    np.asarray(jax.device_get(arr.ravel()[:1]))
+
+
+def timed(label, fn, *args, iters=3, fetch=None, bytes_note=None):
+    fn(*args)  # warm/compile
+    best = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _fence(out if fetch is None else fetch(out))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    note = f"  [{bytes_note}]" if bytes_note else ""
+    print(f"{label:<44s} {best * 1e3:9.2f} ms{note}")
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=32)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--quality", type=int, default=90)
+    ap.add_argument("--rst-rows", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _encode, _make_image
+    from tpujpeg.io.parser import parse
+    from tpujpeg.ops import fsm
+    from tpujpeg.pipeline import Geometry
+    from tpujpeg.parallel import sharding
+
+    print(f"platform={jax.devices()[0].platform} images={args.images} "
+          f"size={args.size} rst_rows={args.rst_rows}")
+
+    datas = [
+        _encode(_make_image(args.size, i), args.quality, args.rst_rows)
+        for i in range(args.images)
+    ]
+    t0 = time.perf_counter()
+    imgs = [parse(d) for d in datas]
+    print(f"{'host: parse+destuff (serial)':<44s} "
+          f"{(time.perf_counter() - t0) * 1e3:9.2f} ms")
+    t0 = time.perf_counter()
+    plan = fsm.build_plan(imgs)
+    print(f"{'host: fsm.build_plan':<44s} "
+          f"{(time.perf_counter() - t0) * 1e3:9.2f} ms")
+    geom = Geometry.of(imgs[0])
+    L = plan.xs.shape[1]
+    stride = plan.xs.shape[0]
+    comp = sum(len(d) for d in datas)
+    print(f"lanes={L} stride={stride} max_blk={plan.max_blk} "
+          f"compressed={comp/1e6:.2f} MB n_blocks/img={geom.n_blocks}")
+
+    xs = jnp.asarray(plan.xs)
+    snb = jnp.asarray(plan.seg_n_blocks)
+
+    # -- dispatch floor: trivial program round trip
+    trivial = jax.jit(lambda a: a.sum())
+    timed("dispatch+fetch floor (scalar sum)", trivial, xs, iters=args.iters)
+
+    # -- FSM scan only (events + state, no butterflies)
+    @functools.partial(jax.jit, static_argnames=("tables",))
+    def scan_only(xs, snb, *, tables):
+        events, (em, ee), st = fsm._fsm_scan(xs, snb, tables)
+        return events[-1, 0], em, st[4]
+
+    timed("fsm scan only", functools.partial(scan_only, tables=plan.tables),
+          xs, snb, iters=args.iters)
+
+    # -- scan with an 8x narrower lane matrix (latency vs throughput probe)
+    xs8 = jnp.asarray(plan.xs[:, : max(128, L // 8)])
+    snb8 = jnp.asarray(plan.seg_n_blocks[: max(128, L // 8)])
+    timed(f"fsm scan only (lanes={xs8.shape[1]})",
+          functools.partial(scan_only, tables=plan.tables),
+          xs8, snb8, iters=args.iters)
+
+    # -- full _decode_jit (scan + butterflies + DC cumsum)
+    dec = functools.partial(
+        fsm._decode_jit, tables=plan.tables, max_blk=plan.max_blk
+    )
+    timed("fsm._decode_jit (scan+butterflies+cumsum)", dec, xs, snb,
+          iters=args.iters)
+
+    # -- butterflies alone: re-run decode but time against scan-only delta
+    per_lane, errs, _ = dec(xs, snb)
+
+    # -- device assemble
+    B = args.images
+    asm = functools.partial(
+        fsm.assemble_batched, layout=plan.layout, pad_to=B
+    )
+    timed("assemble_batched", asm, per_lane, iters=args.iters)
+    coeffs = asm(per_lane).reshape(B, geom.n_blocks, 64)
+
+    # -- pixel program
+    mesh = sharding.make_mesh(n_stripe=1)
+    quant = np.zeros((B, len(geom.comps), 64), np.int32)
+    for bi, img in enumerate(imgs):
+        quant[bi] = np.stack(
+            [img.quant_tables[c.quant_id] for c in img.components]
+        )
+    fn = sharding.compiled_batch_decoder(geom, mesh)
+    qd = jnp.asarray(quant)
+    timed("pixel program (dequant+idct+color)", fn, coeffs, qd,
+          iters=args.iters)
+
+    # -- whole chain, separate dispatches (the engine's current shape)
+    def chain(xs, snb, qd):
+        pl, errs, _ = dec(xs, snb)
+        cf = asm(pl).reshape(B, geom.n_blocks, 64)
+        return fn(cf, qd)
+
+    timed("chain: 3 dispatches (decode+asm+pixels)", chain, xs, snb, qd,
+          iters=args.iters, fetch=lambda o: o[0])
+
+    # -- whole chain fused into ONE jit
+    @jax.jit
+    def fused(xs, snb, qd):
+        pl, (em, ee), _ = fsm._decode_jit(
+            xs, snb, tables=plan.tables, max_blk=plan.max_blk
+        )
+        cf = fsm.assemble_batched(pl, layout=plan.layout, pad_to=B)
+        cf = cf.reshape(B, geom.n_blocks, 64)
+        rgb, risk, m = fn(cf, qd)
+        return rgb, risk, m, em, ee
+
+    timed("chain: FUSED single jit", fused, xs, snb, qd, iters=args.iters,
+          fetch=lambda o: o[0])
+
+    # -- upload cost for the scan bytes
+    up = jax.jit(lambda a: a)
+    xs_host = np.asarray(plan.xs)
+    timed(f"upload scan bytes ({xs_host.nbytes/1e6:.1f} MB)",
+          lambda: jax.device_put(xs_host), iters=args.iters)
+
+
+if __name__ == "__main__":
+    main()

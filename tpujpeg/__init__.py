@@ -22,16 +22,21 @@ __all__ = [
 ]
 
 
-def decode(data, backend: str = "tpu"):
-    """Decode a JPEG (path or bytes) to an int32 [H, W, 3] RGB array."""
+def decode(data, backend: str = "tpu", fancy: bool = False):
+    """Decode a JPEG (path or bytes) to an int32 [H, W, 3] RGB array.
+
+    fancy=True selects libjpeg-style triangle chroma upsampling for
+    subsampled (4:2:0/4:2:2/4:4:0) streams; default is box, matching the
+    reference's 4:4:4-only contract extended by replication.
+    """
     img = parse_file(data) if isinstance(data, str) else parse(data)
     if backend == "oracle":
         from .oracle import decoder as oracle
 
-        return oracle.decode(img)
+        return oracle.decode(img, fancy=fancy)
     from . import pipeline
 
-    return pipeline.decode(img)
+    return pipeline.decode(img, fancy=fancy)
 
 
 def decode_batch(datas, backend: str = "auto", **kwargs):

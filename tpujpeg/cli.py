@@ -27,11 +27,13 @@ def _cmd_decode(args) -> int:
     if args.backend == "oracle":
         from .oracle import decoder as oracle
 
-        rgb = oracle.decode(img)
+        rgb = oracle.decode(img, fancy=args.fancy_upsampling)
     else:
         from . import pipeline
 
-        rgb = pipeline.decode(img, strict=not args.fast)
+        rgb = pipeline.decode(
+            img, strict=not args.fast, fancy=args.fancy_upsampling
+        )
     dt = time.perf_counter() - t0
 
     out = args.output
@@ -110,6 +112,12 @@ def main(argv=None) -> int:
         "--fast",
         action="store_true",
         help="skip the strict bit-exact color repair pass",
+    )
+    d.add_argument(
+        "--fancy-upsampling",
+        action="store_true",
+        help="libjpeg-style triangle chroma upsampling for subsampled "
+        "streams (default: box replication)",
     )
     d.add_argument("-q", "--quiet", action="store_true")
     d.set_defaults(fn=_cmd_decode)

@@ -305,15 +305,20 @@ def idct_blocks(blocks: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def assemble_planes(img: JpegImage, pixels: np.ndarray) -> list[np.ndarray]:
+def assemble_planes(
+    img: JpegImage, pixels: np.ndarray, fancy: bool = False
+) -> list[np.ndarray]:
     """Arrange IDCT output blocks into full-size per-component planes.
 
     `pixels` is int32 [n_blocks, 8, 8] in scan order.  Returns one
-    [padded_mcu_h, padded_mcu_w] plane per component, chroma upsampled to the
-    full MCU-padded frame by sample replication (box filter) for subsampled
-    streams.  For 4:4:4 this is the reference's block->raster scatter
-    (cpp parser.cpp:172-190).
+    [padded_mcu_h, padded_mcu_w] plane per component, chroma upsampled to
+    the full MCU-padded frame for subsampled streams: sample replication
+    (box) by default, libjpeg's triangle filter with fancy=True
+    (ops/upsample.py holds the single shared definition).  For 4:4:4 this
+    is the reference's block->raster scatter (cpp parser.cpp:172-190).
     """
+    from ..ops.upsample import upsample_plane
+
     n_mcus = img.n_mcus
     bpm = img.blocks_per_mcu
     blocks = pixels.reshape(n_mcus, bpm, 8, 8)
@@ -328,10 +333,9 @@ def assemble_planes(img: JpegImage, pixels: np.ndarray) -> list[np.ndarray]:
         plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(
             img.mcus_y * c.v * 8, img.mcus_x * c.h * 8
         )
-        if c.h != img.max_h or c.v != img.max_v:
-            plane = plane.repeat(img.max_v // c.v, axis=0).repeat(
-                img.max_h // c.h, axis=1
-            )
+        plane = upsample_plane(
+            plane, img.max_h // c.h, img.max_v // c.v, fancy, xp=np
+        )
         planes.append(plane)
     return planes
 
@@ -368,12 +372,16 @@ def ycbcr_to_rgb_exact(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndar
 # ---------------------------------------------------------------------------
 
 
-def decode(img: JpegImage) -> np.ndarray:
-    """Decode to an int32 [height, width, 3] RGB array in [0, 255]."""
+def decode(img: JpegImage, fancy: bool = False) -> np.ndarray:
+    """Decode to an int32 [height, width, 3] RGB array in [0, 255].
+
+    fancy=True selects libjpeg triangle chroma upsampling for subsampled
+    streams (no effect on 4:4:4/grayscale).
+    """
     coeffs = entropy_decode(img)
     natural = dequantize(img, coeffs)
     pixels = idct_blocks(natural)
-    planes = assemble_planes(img, pixels)
+    planes = assemble_planes(img, pixels, fancy=fancy)
     if len(planes) == 1:
         yp = planes[0][: img.height, : img.width]
         zeros = np.zeros_like(yp)

@@ -31,11 +31,18 @@ from ..pipeline import Geometry, device_decode_fn
 
 
 def make_mesh(n_batch: int | None = None, n_stripe: int = 1, devices=None) -> Mesh:
-    """Build a (batch, stripe) mesh over the available devices."""
+    """Build a (batch, stripe) mesh over the available devices.
+
+    When n_batch is given and n_batch * n_stripe is smaller than the
+    device count, the mesh uses the first n_batch * n_stripe devices.
+    """
     devices = np.array(devices if devices is not None else jax.devices())
     if n_batch is None:
         n_batch = devices.size // n_stripe
-    return Mesh(devices.reshape(n_batch, n_stripe), ("batch", "stripe"))
+    return Mesh(
+        devices[: n_batch * n_stripe].reshape(n_batch, n_stripe),
+        ("batch", "stripe"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -43,13 +50,17 @@ def make_mesh(n_batch: int | None = None, n_stripe: int = 1, devices=None) -> Me
 # ---------------------------------------------------------------------------
 
 
-def batched_decode_fn(geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray):
+def batched_decode_fn(
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray, fancy: bool = False
+):
     """vmapped single-image decode: [B, n_blocks, 64] -> ([B,H,W,3], [B,...])."""
-    return jax.vmap(functools.partial(device_decode_fn, geom))(coeffs, quant)
+    return jax.vmap(functools.partial(device_decode_fn, geom, fancy=fancy))(
+        coeffs, quant
+    )
 
 
 @functools.lru_cache(maxsize=64)
-def compiled_batch_decoder(geom: Geometry, mesh: Mesh):
+def compiled_batch_decoder(geom: Geometry, mesh: Mesh, fancy: bool = False):
     """jit a batch decode sharded over the `batch` mesh axis.
 
     Inputs must have a leading batch dim divisible by the batch axis size.
@@ -60,7 +71,7 @@ def compiled_batch_decoder(geom: Geometry, mesh: Mesh):
 
     def step(coeffs, quant):
         def local(coeffs_l, quant_l):
-            rgb, risk = batched_decode_fn(geom, coeffs_l, quant_l)
+            rgb, risk = batched_decode_fn(geom, coeffs_l, quant_l, fancy=fancy)
             pixels = jnp.asarray(
                 rgb.shape[0] * geom.width * geom.height, dtype=jnp.int32
             )
@@ -92,22 +103,76 @@ def stripe_geometry(geom: Geometry, n_stripes: int) -> Geometry:
     )
 
 
+def _halo_extend_rows(plane: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Prepend/append 1 row of the neighboring stripes' plane (ICI ppermute).
+
+    At the global top/bottom the local edge row is replicated instead —
+    exactly the edge rule the unsharded triangle filter applies, so the
+    sharded result is bit-identical to the single-chip one.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    top, bot = plane[:1], plane[-1:]
+    # row arriving from the stripe above (their bottom row) and below (top)
+    from_above = jax.lax.ppermute(
+        bot, axis_name, perm=[(i, i + 1) for i in range(n - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        top, axis_name, perm=[(i + 1, i) for i in range(n - 1)]
+    )
+    halo_top = jnp.where(idx == 0, top, from_above)
+    halo_bot = jnp.where(idx == n - 1, bot, from_below)
+    return jnp.concatenate([halo_top, plane, halo_bot], axis=0)
+
+
+def _stripe_upsample(
+    sub: Geometry, planes: list[jnp.ndarray], fancy: bool, axis_name: str
+) -> list[jnp.ndarray]:
+    """Upsample stripe-local planes; fancy vertical filters exchange halos.
+
+    The triangle filter's even/odd output rows read the chroma row above/
+    below (ops/upsample.py), so a stripe's first and last output row pairs
+    need 1 row from the neighboring stripes — the halo exchange this build
+    was designed for (SURVEY §8 hard-part #5).  Box needs no halos.
+    """
+    from ..ops.upsample import fancy_upsample, upsample_plane
+
+    out = []
+    for p, (h, v, _) in zip(planes, sub.comps):
+        fh, fv = sub.max_h // h, sub.max_v // v
+        if not (fancy and fv == 2 and fh <= 2):
+            out.append(upsample_plane(p, fh, fv, fancy))
+            continue
+        samples = jnp.clip(p + 128, 0, 255)
+        ext = _halo_extend_rows(samples, axis_name)
+        up = fancy_upsample(ext, fh, fv)
+        # drop the halo rows' own outputs (2 rows top and bottom)
+        out.append(up[2:-2] - 128)
+    return out
+
+
 @functools.lru_cache(maxsize=64)
-def compiled_stripe_decoder(geom: Geometry, mesh: Mesh):
+def compiled_stripe_decoder(geom: Geometry, mesh: Mesh, fancy: bool = False):
     """jit a single-image decode with MCU rows sharded over `stripe`.
 
     coeffs [n_blocks, 64] is sharded by block (MCU-row-major order means an
     even block split == an even MCU-row split); each chip decodes its stripe
     of rows locally, then the stripes are all_gathered into the full frame.
-    The stripe height is a multiple of the MCU height so no cross-stripe
-    dependency exists for box upsampling.
+    The stripe height is a multiple of the MCU height, so box upsampling is
+    stripe-local; fancy (triangle) upsampling exchanges 1-row chroma halos
+    over ICI (`_stripe_upsample`) and stays bit-identical to the unsharded
+    decode.
     """
+    from ..pipeline import decode_subsampled_planes, planes_to_rgb
+
     n_stripes = mesh.shape["stripe"]
     sub = stripe_geometry(geom, n_stripes)
 
     def step(coeffs, quant):
         def local(coeffs_l, quant_l):
-            rgb, risk = device_decode_fn(sub, coeffs_l, quant_l)
+            planes = decode_subsampled_planes(sub, coeffs_l, quant_l)
+            planes = _stripe_upsample(sub, planes, fancy, "stripe")
+            rgb, risk = planes_to_rgb(sub, planes)
             rgb_full = jax.lax.all_gather(rgb, "stripe", axis=0, tiled=True)
             risk_full = jax.lax.all_gather(risk, "stripe", axis=0, tiled=True)
             return rgb_full, risk_full
@@ -126,13 +191,18 @@ def compiled_stripe_decoder(geom: Geometry, mesh: Mesh):
 
 
 def decode_striped(
-    img, n_stripes: int | None = None, mesh: Mesh | None = None, strict: bool = True
+    img,
+    n_stripes: int | None = None,
+    mesh: Mesh | None = None,
+    strict: bool = True,
+    fancy: bool = False,
 ):
     """Decode one image with its MCU rows sharded across chips.
 
     Host entropy decode -> stripe-sharded device pipeline -> [H, W, 3],
     bit-exact (strict repairs flagged color-boundary pixels, as in
-    pipeline.decode).
+    pipeline.decode).  fancy=True upsamples chroma with the triangle
+    filter, exchanging 1-row halos between stripes over ICI.
     """
     from ..ops.color import unpack_mask
     from ..pipeline import _repair, build_plan
@@ -140,11 +210,11 @@ def decode_striped(
     geom, coeffs, quant = build_plan(img)
     if mesh is None:
         mesh = make_mesh(n_batch=1, n_stripe=n_stripes or len(jax.devices()))
-    fn = compiled_stripe_decoder(geom, mesh)
+    fn = compiled_stripe_decoder(geom, mesh, fancy)
     rgb, risk = fn(jnp.asarray(coeffs), jnp.asarray(quant))
     rgb = np.asarray(jax.device_get(rgb)).astype(np.int32)[: img.height]
     if strict:
         mask = unpack_mask(np.asarray(jax.device_get(risk)), img.width)[: img.height]
         if mask.any():
-            _repair(img, coeffs, rgb, mask)
+            _repair(img, coeffs, rgb, mask, fancy=fancy)
     return rgb

@@ -92,12 +92,21 @@ class Geometry(tuple):
 # ---------------------------------------------------------------------------
 
 
-def _assemble_planes(geom: Geometry, pixels: jnp.ndarray) -> list[jnp.ndarray]:
-    """Scan-order [n_blocks, 8, 8] -> full-size per-component planes.
+def decode_subsampled_planes(
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray
+) -> list[jnp.ndarray]:
+    """Coefficients -> per-component CENTERED planes at native resolution.
 
-    Static reshapes/transposes only; chroma upsampling is sample replication
-    (box), matching the oracle.
+    dequant (zigzag domain, cpp parser.cpp:111,130) + inverse zigzag +
+    integer IDCT + block->raster; no upsampling yet — the stripe decoder
+    injects a halo exchange between this stage and `upsample_planes`.
     """
+    coeffs = coeffs.astype(jnp.int32)
+    pattern = jnp.asarray(np.tile(geom.pattern(), geom.n_mcus))
+    block_quant = jnp.take(quant, pattern, axis=0)  # [n_blocks, 64]
+    deq = coeffs * block_quant
+    natural = jnp.take(deq, jnp.asarray(ZIGZAG_TO_NATURAL), axis=1)
+    pixels = idct_blocks(natural.reshape(geom.n_blocks, 8, 8))
     blocks = pixels.reshape(geom.n_mcus, geom.blocks_per_mcu, 8, 8)
     planes = []
     base = 0
@@ -107,34 +116,30 @@ def _assemble_planes(geom: Geometry, pixels: jnp.ndarray) -> list[jnp.ndarray]:
             geom.mcus_y, geom.mcus_x, v, h, 8, 8
         )
         base += nb
-        plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(
-            geom.mcus_y * v * 8, geom.mcus_x * h * 8
+        planes.append(
+            grid.transpose(0, 2, 4, 1, 3, 5).reshape(
+                geom.mcus_y * v * 8, geom.mcus_x * h * 8
+            )
         )
-        if h != geom.max_h:
-            plane = jnp.repeat(plane, geom.max_h // h, axis=1)
-        if v != geom.max_v:
-            plane = jnp.repeat(plane, geom.max_v // v, axis=0)
-        planes.append(plane)
     return planes
 
 
-def device_decode_fn(
-    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """The jittable decode body: coefficients -> (rgb uint8, packed riskbits).
+def upsample_planes(
+    geom: Geometry, planes: list[jnp.ndarray], fancy: bool
+) -> list[jnp.ndarray]:
+    """Native-resolution planes -> full-resolution planes (box or fancy)."""
+    from .ops.upsample import upsample_plane
 
-    coeffs: int32 or int16 [n_blocks, 64], zigzag order, scan order, DPCM
-        resolved (int16 is lossless for conformant baseline scans and
-        halves the host->device transfer; math still runs in int32).
-    quant:  int32 [n_comp, 64], zigzag order.
-    """
-    coeffs = coeffs.astype(jnp.int32)
-    pattern = jnp.asarray(np.tile(geom.pattern(), geom.n_mcus))
-    block_quant = jnp.take(quant, pattern, axis=0)  # [n_blocks, 64]
-    deq = coeffs * block_quant  # zigzag domain (cpp parser.cpp:111,130)
-    natural = jnp.take(deq, jnp.asarray(ZIGZAG_TO_NATURAL), axis=1)
-    pixels = idct_blocks(natural.reshape(geom.n_blocks, 8, 8))
-    planes = _assemble_planes(geom, pixels)
+    return [
+        upsample_plane(p, geom.max_h // h, geom.max_v // v, fancy)
+        for p, (h, v, _) in zip(planes, geom.comps)
+    ]
+
+
+def planes_to_rgb(
+    geom: Geometry, planes: list[jnp.ndarray]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-resolution planes -> (rgb uint8, packed riskbits), cropped."""
     if len(planes) == 1:
         y = planes[0][: geom.height, : geom.width]
         zeros = jnp.zeros_like(y)
@@ -145,9 +150,25 @@ def device_decode_fn(
     return rgb, pack_mask(risky)
 
 
+def device_decode_fn(
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
+    fancy: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The jittable decode body: coefficients -> (rgb uint8, packed riskbits).
+
+    coeffs: int32 or int16 [n_blocks, 64], zigzag order, scan order, DPCM
+        resolved (int16 is lossless for conformant baseline scans and
+        halves the host->device transfer; math still runs in int32).
+    quant:  int32 [n_comp, 64], zigzag order.
+    fancy:  libjpeg triangle chroma upsampling (subsampled streams only).
+    """
+    planes = decode_subsampled_planes(geom, coeffs, quant)
+    return planes_to_rgb(geom, upsample_planes(geom, planes, fancy))
+
+
 @functools.lru_cache(maxsize=256)
-def _compiled(geom: Geometry):
-    return jax.jit(functools.partial(device_decode_fn, geom))
+def _compiled(geom: Geometry, fancy: bool = False):
+    return jax.jit(functools.partial(device_decode_fn, geom, fancy=fancy))
 
 
 # ---------------------------------------------------------------------------
@@ -166,30 +187,58 @@ def build_plan(img: JpegImage) -> tuple[Geometry, np.ndarray, np.ndarray]:
     return Geometry.of(img), coeffs, quant
 
 
-def decode(img: JpegImage, strict: bool = True) -> np.ndarray:
+def decode(img: JpegImage, strict: bool = True, fancy: bool = False) -> np.ndarray:
     """Decode one image on the device. Returns int32 [H, W, 3] RGB.
 
     strict=True repairs flagged color-boundary pixels with oracle math,
-    guaranteeing bit-exact equality with the reference decoder.
+    guaranteeing bit-exact equality with the reference decoder (and, for
+    fancy=True, with the NumPy fancy-upsampling oracle).
     """
     geom, coeffs, quant = build_plan(img)
-    rgb_dev, riskbits = _compiled(geom)(jnp.asarray(coeffs), jnp.asarray(quant))
+    rgb_dev, riskbits = _compiled(geom, fancy)(
+        jnp.asarray(coeffs), jnp.asarray(quant)
+    )
     rgb = np.asarray(jax.device_get(rgb_dev)).astype(np.int32)
     if strict:
         packed = np.asarray(jax.device_get(riskbits))
         mask = unpack_mask(packed, img.width)
         if mask.any():
-            _repair(img, coeffs, rgb, mask)
+            _repair(img, coeffs, rgb, mask, fancy=fancy)
     return rgb
 
 
+def _comp_samples(img, coeffs, quant_ci, comp_base_ci, c, cy, cx) -> np.ndarray:
+    """Oracle IDCT sample values of one component at plane coords (cy, cx).
+
+    Vectorized over pixel lists; cost is a few 8x8 IDCTs on the unique
+    touched blocks.  Coordinates are in the component's own (subsampled)
+    padded plane.
+    """
+    by, bx = cy // 8, cx // 8
+    mcu = (by // c.v) * img.mcus_x + (bx // c.h)
+    block_idx = (
+        mcu * img.blocks_per_mcu + comp_base_ci + (by % c.v) * c.h + (bx % c.h)
+    )
+    uniq, inv = np.unique(block_idx, return_inverse=True)
+    zz = coeffs[uniq].astype(np.int64) * quant_ci[None, :]
+    natural = zz[:, ZIGZAG_TO_NATURAL].reshape(-1, 8, 8).astype(np.int32)
+    pix = oracle.idct_blocks(natural)
+    return pix[inv, cy % 8, cx % 8]
+
+
 def _repair(
-    img: JpegImage, coeffs: np.ndarray, rgb: np.ndarray, mask: np.ndarray
+    img: JpegImage,
+    coeffs: np.ndarray,
+    rgb: np.ndarray,
+    mask: np.ndarray,
+    fancy: bool = False,
 ) -> None:
     """Recompute flagged pixels with exact oracle math, in place.
 
     Cost: a handful of vectorized 8x8 IDCTs on the unique touched blocks —
-    O(flagged pixels), typically <0.1% of the image.
+    O(flagged pixels), typically <0.1% of the image.  With fancy=True the
+    chroma samples feeding the exact color math are rebuilt through the
+    same triangle filter as the device (ops/upsample.py semantics).
     """
     py, px = np.nonzero(mask)
     comps = img.components
@@ -199,18 +248,31 @@ def _repair(
 
     samples = []
     for ci, c in enumerate(comps):
-        cy = py * c.v // max_v
-        cx = px * c.h // max_h
-        by, bx = cy // 8, cx // 8
-        mcu = (by // c.v) * img.mcus_x + (bx // c.h)
-        block_idx = (
-            mcu * img.blocks_per_mcu + comp_base[ci] + (by % c.v) * c.h + (bx % c.h)
+        fy, fx = max_v // c.v, max_h // c.h
+        val = functools.partial(
+            _comp_samples, img, coeffs, quant[ci], comp_base[ci], c
         )
-        uniq, inv = np.unique(block_idx, return_inverse=True)
-        zz = coeffs[uniq].astype(np.int64) * quant[ci][None, :]
-        natural = zz[:, ZIGZAG_TO_NATURAL].reshape(-1, 8, 8).astype(np.int32)
-        pix = oracle.idct_blocks(natural)
-        samples.append(pix[inv, cy % 8, cx % 8])
+        if fy == 1 and fx == 1 or not fancy or fy > 2 or fx > 2:
+            # box path (or full-res component): nearest sample
+            samples.append(val(py // fy, px // fx))
+            continue
+        # fancy: rebuild the triangle filter from clamped samples
+        hc = img.mcus_y * c.v * 8
+        wc = img.mcus_x * c.h * 8
+        r, col = py // fy, px // fx
+        rn = np.clip(r + np.where(py % 2 == 1, 1, -1), 0, hc - 1) if fy == 2 else r
+        cn = np.clip(col + np.where(px % 2 == 1, 1, -1), 0, wc - 1) if fx == 2 else col
+        s = lambda rr, cc: np.clip(val(rr, cc) + 128, 0, 255).astype(np.int64)
+        if fy == 2 and fx == 2:
+            v = (
+                9 * s(r, col) + 3 * s(r, cn) + 3 * s(rn, col) + s(rn, cn)
+                + np.where(px % 2 == 1, 7, 8)
+            ) >> 4
+        elif fx == 2:
+            v = (3 * s(r, col) + s(r, cn) + np.where(px % 2 == 1, 2, 1)) >> 2
+        else:  # fy == 2
+            v = (3 * s(r, col) + s(rn, col) + np.where(py % 2 == 1, 2, 1)) >> 2
+        samples.append(v - 128)
     if len(comps) == 1:
         y = samples[0]
         cb = cr = np.zeros_like(y)

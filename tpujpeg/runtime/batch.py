@@ -131,12 +131,14 @@ class BatchDecoder:
         chunk_size: int = 32,
         mesh=None,
         strict: bool = True,
+        fancy: bool = False,
     ):
         if backend not in ("auto", "host", "fsm", "oracle"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.chunk_size = chunk_size
         self.strict = strict
+        self.fancy = fancy
         self.mesh = mesh if mesh is not None else sharding.make_mesh(n_stripe=1)
         self.pool = ThreadPoolExecutor(max_workers=workers)
         self.stats = BatchStats()
@@ -240,27 +242,51 @@ class BatchDecoder:
                 )):
                     if c is not None:
                         coeffs[bi] = c
-        fn = sharding.compiled_batch_decoder(geom, self.mesh)
+        fn = sharding.compiled_batch_decoder(geom, self.mesh, self.fancy)
         chunk.out = fn(jnp.asarray(coeffs), jnp.asarray(self._quant_block(chunk, B)))
         chunk.coeffs = coeffs
         chunk.backend = "oracle" if self.backend == "oracle" else "host"
 
+    def _process_chunk_spec(self, chunk: _Chunk) -> bool:
+        """Speculative-split device decode for streams without restart
+        markers (the reference's centerpiece, parser.cu:50-208): entropy
+        runs on device via the Jacobi equal-split FSM, coefficients are
+        assembled on host, and the pixel program runs as usual.  Returns
+        False when any image is outside the speculative envelope."""
+        from ..ops import fsm
+
+        geom = chunk.geom
+        B = self._pad_batch()
+        coeffs = np.zeros((B, geom.n_blocks, 64), np.int32)
+        try:
+            for bi, img in enumerate(chunk.imgs):
+                coeffs[bi] = fsm.decode_speculative(img)
+        except JpegError:
+            return False
+        fn = sharding.compiled_batch_decoder(geom, self.mesh, self.fancy)
+        chunk.out = fn(jnp.asarray(coeffs), jnp.asarray(self._quant_block(chunk, B)))
+        chunk.coeffs = coeffs
+        chunk.backend = "fsm-spec"
+        return True
+
     def _process_chunk_fsm(self, chunk: _Chunk) -> bool:
         """Fully device-resident: scan bytes up, FSM decode, device-side
         assemble, pixel program.  Nothing but the scan crosses the host
-        boundary.  Returns False when the chunk is outside the FSM envelope
-        (no restart markers / exotic tables) so the caller can fall back."""
+        boundary.  Streams without restart markers take the speculative
+        equal-split device path instead (stats.backend: 'fsm-spec').
+        Returns False when the chunk is outside both envelopes (exotic
+        tables, oversized segments) so the caller can fall back."""
         from ..ops import fsm
 
         try:
             plan = fsm.build_plan(chunk.imgs)
         except JpegError:
-            return False
+            return self._process_chunk_spec(chunk)
         per_lane, (err_mal, err_env) = fsm.decode_plan(plan)
         B = self._pad_batch()
         coeffs = fsm.assemble_batched(per_lane, layout=plan.layout, pad_to=B)
         coeffs = coeffs.reshape(B, chunk.geom.n_blocks, 64)
-        fn = sharding.compiled_batch_decoder(chunk.geom, self.mesh)
+        fn = sharding.compiled_batch_decoder(chunk.geom, self.mesh, self.fancy)
         chunk.out = fn(coeffs, jnp.asarray(self._quant_block(chunk, B)))
         chunk.coeffs_dev = coeffs
         chunk.err_mal = err_mal
@@ -370,7 +396,7 @@ class BatchDecoder:
                     if mask.any():
                         if coeffs_h is None:  # fsm path: fetch lazily
                             coeffs_h = np.asarray(jax.device_get(chunk.coeffs_dev))
-                        _repair(img, coeffs_h[bi], out, mask)
+                        _repair(img, coeffs_h[bi], out, mask, fancy=self.fancy)
                         repaired += int(mask.sum())
                 results[i] = out.astype(np.uint8)
         self.stats.repaired_pixels = repaired
