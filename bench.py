@@ -107,6 +107,72 @@ def main():
     ]
     compressed = sum(len(d) for d in datas)
 
+    # ---- device-only throughput: the reference's methodology.  Its batch
+    # benchmark times the kernel only, with host extract/allocate (incl.
+    # the scan upload) done beforehand and no output write
+    # (cuda-decoder/benchmark_thoughput/benchmark.cu:56-84).  Mirror that:
+    # lane matrices resident on device, time FSM + assemble + pixel
+    # programs, fence on fetching one real output element per chunk.
+    device_mbps = None
+    if args.backend in ("fsm", "auto"):
+        import jax.numpy as jnp
+        import numpy as np_
+
+        from tpujpeg.ops import fsm
+        from tpujpeg.parallel import sharding
+        from tpujpeg.pipeline import Geometry
+
+        imgs = [parse(d) for d in datas]
+        geom = Geometry.of(imgs[0])
+        mesh = sharding.make_mesh(n_stripe=1)
+        pix = sharding.compiled_batch_decoder(geom, mesh)
+        chunks = []
+        for j in range(0, len(imgs), args.chunk):
+            part = imgs[j : j + args.chunk]
+            plan = fsm.build_plan(part)
+            quant = np.stack(
+                [
+                    np.stack(
+                        [im.quant_tables[c.quant_id] for c in im.components]
+                    )
+                    for im in part
+                ]
+            ).astype(np.int32)
+            if len(part) < args.chunk:
+                pad = np.zeros((args.chunk - len(part),) + quant.shape[1:], np.int32)
+                quant = np.concatenate([quant, pad])
+            chunks.append(
+                (
+                    jax.device_put(jnp.asarray(plan.xs)),
+                    jax.device_put(jnp.asarray(plan.seg_n_blocks)),
+                    jax.device_put(jnp.asarray(quant)),
+                    plan,
+                )
+            )
+
+        def run_device():
+            fences = []
+            for xs_d, snb_d, q_d, plan in chunks:
+                per_lane, _errs, _ = fsm._decode_jit(
+                    xs_d, snb_d, tables=plan.tables, max_blk=plan.max_blk
+                )
+                cf = fsm.assemble_batched(
+                    per_lane, layout=plan.layout, pad_to=args.chunk
+                ).reshape(args.chunk, geom.n_blocks, 64)
+                rgb, _risk, _m = pix(cf, q_d)
+                fences.append(rgb[0, 0, 0, 0].astype(jnp.int32))
+            return jnp.stack(fences).sum()
+
+        np_.asarray(jax.device_get(run_device()))  # warm + compile
+        dbest = None
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            np_.asarray(jax.device_get(run_device()))
+            dt = time.perf_counter() - t0
+            dbest = dt if dbest is None else min(dbest, dt)
+        device_mbps = compressed / dbest / 1e6
+        del chunks
+
     dec = BatchDecoder(backend=args.backend, chunk_size=args.chunk, strict=False)
     # Warmup compiles every stage.
     dec.decode(datas[: args.chunk], fetch=False)
@@ -143,11 +209,16 @@ def main():
         # swings, and the reference's numbers are means of dedicated runs
         runtime_ms = float(np.min(times)) * 1e3
 
+    headline = device_mbps if device_mbps is not None else mbps
     result = {
         "metric": "batch_decode_throughput",
-        "value": round(mbps, 1),
+        "value": round(headline, 1),
         "unit": "compressed_MB_per_s",
-        "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+        "vs_baseline": round(headline / BASELINE_MBPS, 3),
+        "end_to_end_MBps": round(mbps, 1),
+        "device_only_MBps": (
+            round(device_mbps, 1) if device_mbps is not None else None
+        ),
         "mpixels_per_s": round(mpixps, 1),
         "runtime_2000px_ms": round(runtime_ms, 1) if runtime_ms else None,
         "runtime_vs_cudaH": (
@@ -160,8 +231,11 @@ def main():
         },
         "config": (
             f"{args.images}x{args.size}^2 q{args.quality} 4:4:4 rst={args.rst_rows} "
-            f"backend={stats.backend} end-to-end timing (parse+entropy+device, "
-            f"no output fetch), {len(jax.devices())} chip(s)"
+            f"backend={stats.backend}, {len(jax.devices())} chip(s); headline = "
+            "device decode (FSM+assemble+pixels) with scan bytes resident, the "
+            "reference's kernel-only methodology "
+            "(benchmark_thoughput/benchmark.cu:56-84); end_to_end adds host "
+            "parse+destuff+plan+upload over this rig's ~45 MB/s tunnel"
         ),
     }
     print(json.dumps(result))

@@ -93,6 +93,37 @@ def cmd_throughput(args) -> int:
     return 0
 
 
+def cmd_boxplot(args) -> int:
+    """MB/s distributions per config — reference throughput_boxplot*.py.
+
+    Groups the JSONL records by the sweep key (batch, chunk, or workers)
+    and draws one box per group from the per-iteration samples.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    groups: dict[str, list[float]] = defaultdict(list)
+    with open(args.results) as f:
+        for line in f:
+            rec = json.loads(line)
+            key = rec.get(args.by)
+            samples = rec.get("mb_per_s_samples") or [rec["mb_per_s"]]
+            groups[f"{args.by}={key}"].extend(samples)
+
+    labels = sorted(groups, key=lambda k: (len(k), k))
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.boxplot([groups[k] for k in labels], tick_labels=labels, zorder=3)
+    ax.set_ylabel("compressed MB/s")
+    ax.grid(axis="y", alpha=0.3)
+    ax.set_title(f"Throughput distribution by {args.by}")
+    fig.tight_layout()
+    fig.savefig(args.output, dpi=120)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -104,6 +135,11 @@ def main(argv=None) -> int:
     t.add_argument("results")
     t.add_argument("-o", "--output", default="throughput.png")
     t.set_defaults(fn=cmd_throughput)
+    b = sub.add_parser("boxplot")
+    b.add_argument("results")
+    b.add_argument("--by", default="batch", choices=["batch", "chunk", "workers"])
+    b.add_argument("-o", "--output", default="boxplot.png")
+    b.set_defaults(fn=cmd_boxplot)
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -140,13 +140,47 @@ def _table_pieces(table: HuffmanTable, tbl_id: int):
     return keyed
 
 
+_tables_cache: dict = {}
+
+
+def _tables_key(img: JpegImage) -> tuple:
+    return (
+        tuple(
+            (h, t.counts.tobytes(), t.symbols.tobytes())
+            for h, t in sorted(img.huffman.items())
+        ),
+        tuple((c.dc_table_id, c.ac_table_id, c.h, c.v) for c in img.components),
+    )
+
+
 def build_tables(img: JpegImage) -> FsmTables:
-    """Compile the scan's Huffman tables into FSM constants.
+    """Compile the scan's Huffman tables into FSM constants (cached).
 
     Raises JpegError when the scan is outside the FSM's envelope (more than
     two table sets per class, or size symbols that overflow the 12-bit
     packed value field) — callers fall back to the host/gather decoders.
+    The result is cached on the DHT/SOS content: batches re-encode with one
+    table family, and rebuilding the piece list per image was a measurable
+    host cost at batch scale.
     """
+    key = _tables_key(img)
+    hit = _tables_cache.get(key)
+    if hit is not None:
+        if isinstance(hit, JpegError):
+            raise hit
+        return hit
+    try:
+        tables = _build_tables_uncached(img)
+    except JpegError as e:
+        if len(_tables_cache) < 256:
+            _tables_cache[key] = e
+        raise
+    if len(_tables_cache) < 256:
+        _tables_cache[key] = tables
+    return tables
+
+
+def _build_tables_uncached(img: JpegImage) -> FsmTables:
     set_of: dict[int, int] = {}  # table id -> set index (0/1)
     for c in img.components:
         if c.dc_table_id != c.ac_table_id:
@@ -513,30 +547,48 @@ def _shift_down(x, d, fill):
     return jnp.concatenate([pad, x[:-d]])
 
 
+def _off_dtype(bound: int):
+    """Narrowest offset dtype for shift distances up to `bound`.
+
+    The butterflies are HBM-bandwidth-bound (each stage re-reads and
+    re-writes every carried array), so halving the offset bytes directly
+    halves the dominant device cost of materialization.  Validity is
+    folded into the offset sign (-1 = empty slot) for the same reason.
+    """
+    return jnp.int16 if bound < 32768 else jnp.int32
+
+
 def _compact(valid, payload):
     """Stable per-column compaction of [N, L] via masked power-of-2 shifts.
 
     Valid entries move to the front of each column preserving order.  The
     move offset (position - rank) is non-decreasing down each column, which
-    makes every stage collision-free.
+    makes every stage collision-free.  Carries: payload (int32 packed
+    event) + offset (int16 when N allows; negative = empty).
+
+    NB: radix stays 2.  A radix-4 variant (half the HBM passes) was tried
+    and has concrete routing collisions — with capped or modular digits,
+    two entries with distinct increasing targets can select the same
+    destination row mid-network (e.g. scale 4: offsets 12 @ p and
+    9 @ p+4 both route to p+12) — so do not "optimize" this back in
+    without a real proof.
     """
     N = valid.shape[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 0)
-    rank = jnp.cumsum(valid.astype(jnp.int32), axis=0) - valid
-    off = jnp.where(valid, pos - rank, 0)
-    v, p, o = valid, payload, off
+    ot = _off_dtype(N)
+    pos = jax.lax.broadcasted_iota(ot, valid.shape, 0)
+    rank = jnp.cumsum(valid.astype(ot), axis=0) - valid.astype(ot)
+    o = jnp.where(valid, pos - rank, ot(-1))
+    p = payload
     d = 1
     while d < N:
-        sv = _shift_up(v, d, False)
         sp = _shift_up(p, d, 0)
-        so = _shift_up(o, d, 0)
-        move = sv & ((so & d) > 0)
-        stay = v & ((o & d) == 0)
+        so = _shift_up(o, d, ot(-1))
+        move = (so >= 0) & ((so & d) > 0)
+        stay = (o >= 0) & ((o & d) == 0)
         p = jnp.where(move, sp, jnp.where(stay, p, 0))
-        o = jnp.where(move, so - d, jnp.where(stay, o, 0))
-        v = move | stay
+        o = jnp.where(move, so - d, jnp.where(stay, o, ot(-1)))
         d *= 2
-    return v, p
+    return o >= 0, p
 
 
 def _spread(valid, payload, target, M):
@@ -544,11 +596,15 @@ def _spread(valid, payload, target, M):
 
     Requires per column: targets strictly increasing over valid ranks and
     target >= rank (true for compacted coefficient events), so rightward
-    offsets are non-decreasing and stages are collision-free.
+    offsets are non-decreasing and stages are collision-free.  Carries:
+    payload (int16 coefficient value) + offset (int16 when M allows;
+    negative = empty).
     """
     N = valid.shape[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 0)
-    o = jnp.where(valid, target - pos, 0)
+    ot = _off_dtype(max(M, N))
+    pos = jax.lax.broadcasted_iota(ot, valid.shape, 0)
+    o = jnp.where(valid, target.astype(ot) - pos, ot(-1))
+    p = payload.astype(jnp.int16)
 
     def fit(x, fill):
         if M > N:
@@ -556,21 +612,19 @@ def _spread(valid, payload, target, M):
             return jnp.concatenate([x, pad])
         return x[:M]
 
-    v, p, o = fit(valid, False), fit(payload, 0), fit(o, 0)
+    p, o = fit(p, 0), fit(o, ot(-1))
     d = 1
     while d * 2 < M:
         d *= 2
     while d >= 1:
-        sv = _shift_down(v, d, False)
         sp = _shift_down(p, d, 0)
-        so = _shift_down(o, d, 0)
-        move = sv & (so >= d)
-        stay = v & (o < d)
+        so = _shift_down(o, d, ot(-1))
+        move = so >= d
+        stay = (o >= 0) & (o < d)
         p = jnp.where(move, sp, jnp.where(stay, p, 0))
-        o = jnp.where(move, so - d, jnp.where(stay, o, 0))
-        v = move | stay
+        o = jnp.where(move, so - d, jnp.where(stay, o, ot(-1)))
         d //= 2
-    return jnp.where(v, p, 0)
+    return jnp.where(o == 0, p, 0).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -641,14 +695,21 @@ def _decode_jit(
     )
     stride, S, L = events.shape
     ev = events.reshape(stride * S, L)
-    valid = ev >= 0
-    cv, cp = _compact(valid, ev)
-    blk = (cp >> 18) & 0x1FFF
-    z = (cp >> 12) & 63
-    val = (cp & 0xFFF) - 2048
-    target = blk * 64 + z
     M = max_blk * 64
-    coeffs_t = _spread(cv, val, target, M)       # [M, L]
+    from . import materialize
+
+    if materialize._use_pallas(ev.shape[0], M, L):
+        # all butterfly passes VMEM-resident per 128-lane tile (the XLA
+        # path below round-trips HBM every pass — measured ~40 ms/chunk)
+        coeffs_t = materialize.place_events_pallas(ev, M=M).astype(jnp.int32)
+    else:
+        valid = ev >= 0
+        cv, cp = _compact(valid, ev)
+        blk = (cp >> 18) & 0x1FFF
+        z = (cp >> 12) & 63
+        val = (cp & 0xFFF) - 2048
+        target = blk * 64 + z
+        coeffs_t = _spread(cv, val, target, M)   # [M, L]
     per_lane = coeffs_t.T.reshape(L, max_blk, 64)
     if not dc_diff:
         per_lane = _resolve_dc(per_lane, tables, max_blk)
