@@ -37,7 +37,7 @@ def main(argv=None) -> int:
     ap.add_argument("--quality", type=int, default=90)
     ap.add_argument("--rst-rows", type=int, default=1)
     ap.add_argument("--backend", default="host",
-                    choices=["auto", "host", "fsm", "oracle"])
+                    choices=["auto", "host", "fsm", "gather", "oracle"])
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--chunks", type=int, nargs="+", default=None,
                     help="sweep chunk sizes (device batch granularity)")

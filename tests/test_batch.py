@@ -107,3 +107,13 @@ def test_distributed_shard_list():
     assert sorted(sum(shards, [])) == items
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
     assert dist.allreduce_metrics({"x": 2.0}) == {"x": 2.0}
+
+
+def test_batch_gather_backend():
+    # the lockstep gather decoder stays wired as a selectable backend
+    datas = [make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=s) for s in (5, 6)]
+    dec = BatchDecoder(backend="gather", chunk_size=2)
+    got = dec.decode(datas)
+    for g, e in zip(got, expected(datas)):
+        np.testing.assert_array_equal(g, e)
+    assert dec.stats.backend == "gather"

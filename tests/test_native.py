@@ -73,3 +73,59 @@ def test_native_int16_output(native):
     np.testing.assert_array_equal(
         out16.astype(np.int32), oracle.entropy_decode(img)
     )
+
+
+def _dc_runaway_image():
+    """A gray image whose scan is rewritten so the DC predictor walks past
+    int16 range: every block is [DC size-11, magnitude 2047, EOB].
+    Corrupt-but-decodable — conformant streams keep |DC| <= 2047."""
+    img = parse(make_jpeg(shape=(32, 48), gray=True, seed=2))
+    dc = img.huffman[0x00]
+    ac = img.huffman[0x10]
+    assert dc.lengths[11] > 0  # Annex K DC tables define size 11
+
+    bits: list[int] = []
+
+    def put(code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    n_blocks = img.n_mcus * img.blocks_per_mcu
+    for _ in range(n_blocks):
+        put(int(dc.codes[11]), int(dc.lengths[11]))
+        put((1 << 11) - 1, 11)          # magnitude 2047 -> EXTEND +2047
+        put(int(ac.codes[0]), int(ac.lengths[0]))  # EOB
+    while len(bits) % 8:
+        bits.append(1)
+    data = np.packbits(np.asarray(bits, np.uint8))
+    img.scan_data = data
+    img.segment_offsets = np.array([0], np.int64)
+    return img, n_blocks
+
+
+def test_native_int16_dc_overflow_flagged(native):
+    # round-1 advisor: the int16 path silently wrapped when a corrupt
+    # stream walked the DC predictor out of range, diverging from the
+    # int32 oracle.  It must now raise Int16RangeError instead.
+    from tpujpeg.runtime.native.lib import Int16RangeError
+
+    img, n_blocks = _dc_runaway_image()
+    assert n_blocks * 2047 > 32767  # the walk really escapes int16
+    want = oracle.entropy_decode(img)
+    assert int(want[:, 0].max()) > 32767
+    np.testing.assert_array_equal(native.entropy_decode(img), want)  # int32 ok
+    out16 = np.zeros((n_blocks, 64), np.int16)
+    with pytest.raises(Int16RangeError):
+        native.entropy_decode(img, out=out16)
+
+
+def test_batch_int16_overflow_retries_on_int32():
+    # the batch engine must transparently redo such a chunk at int32 and
+    # still return oracle-identical pixels
+    from tpujpeg.runtime.batch import BatchDecoder
+
+    img, _ = _dc_runaway_image()
+    dec = BatchDecoder(backend="host", chunk_size=2, strict=False)
+    got = dec.decode_parsed([img])
+    want = oracle.decode(img).astype(np.uint8)
+    np.testing.assert_array_equal(got[0], want)

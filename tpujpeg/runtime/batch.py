@@ -133,7 +133,7 @@ class BatchDecoder:
         strict: bool = True,
         fancy: bool = False,
     ):
-        if backend not in ("auto", "host", "fsm", "oracle"):
+        if backend not in ("auto", "host", "fsm", "gather", "oracle"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.chunk_size = chunk_size
@@ -214,6 +214,10 @@ class BatchDecoder:
                     return None
                 return entropy_fn(img)
             except JpegError as e:
+                from .native.lib import Int16RangeError
+
+                if isinstance(e, Int16RangeError) and out16 is not None:
+                    raise  # retried on the int32 path by the caller
                 if not isolate:
                     raise
                 if chunk.failed is None:
@@ -223,15 +227,25 @@ class BatchDecoder:
                     out16[:] = 0
                 return None
 
+        coeffs = None
         if native is not None and self.backend != "oracle":
+            from .native.lib import Int16RangeError
+
             # np.empty: the native decoder writes every real row in full
             # (it zero-fills internally); only padding rows need clearing.
             coeffs = np.empty((B, geom.n_blocks, 64), np.int16)
             coeffs[len(chunk.imgs) :] = 0
-            list(self.pool.map(
-                one, [(bi, im, coeffs[bi]) for bi, im in enumerate(chunk.imgs)]
-            ))
-        else:
+            try:
+                list(self.pool.map(
+                    one,
+                    [(bi, im, coeffs[bi]) for bi, im in enumerate(chunk.imgs)],
+                ))
+            except Int16RangeError:
+                # corrupt-but-decodable stream whose DC walk escapes int16:
+                # redo the chunk at int32 so output matches the oracle
+                # bit-for-bit (the int16 fast path must never wrap)
+                coeffs = None
+        if coeffs is None:
             coeffs = np.zeros((B, geom.n_blocks, 64), np.int32)
             if self.backend == "oracle" and not isolate:
                 for bi, c in enumerate(self._entropy_host_list(chunk.imgs)):
@@ -294,7 +308,27 @@ class BatchDecoder:
         chunk.backend = "fsm"
         return True
 
+    def _process_chunk_gather(self, chunk: _Chunk):
+        """The lockstep gather decoder (ops/entropy.py) as a backend: the
+        measured alternative the FSM replaced (~25 MB/s gather ceiling,
+        PERFORMANCE.md).  Kept selectable so the comparison stays one flag
+        away instead of shelf-ware (round-1 verdict)."""
+        from ..ops import entropy
+
+        geom = chunk.geom
+        B = self._pad_batch()
+        coeffs = np.zeros((B, geom.n_blocks, 64), np.int32)
+        got = entropy.entropy_decode_device(chunk.imgs)
+        coeffs[: len(chunk.imgs)] = got.reshape(len(chunk.imgs), geom.n_blocks, 64)
+        fn = sharding.compiled_batch_decoder(geom, self.mesh, self.fancy)
+        chunk.out = fn(jnp.asarray(coeffs), jnp.asarray(self._quant_block(chunk, B)))
+        chunk.coeffs = coeffs
+        chunk.backend = "gather"
+
     def _process_chunk(self, chunk: _Chunk, isolate: bool = False):
+        if self.backend == "gather":
+            self._process_chunk_gather(chunk)
+            return
         if self.backend == "fsm":
             if not self._process_chunk_fsm(chunk):
                 raise JpegError("fsm: chunk outside the FSM decode envelope")
@@ -314,6 +348,18 @@ class BatchDecoder:
                 return
         self._process_chunk_host(chunk, isolate=isolate)
 
+    def _dispatch_chunk(self, chunk: _Chunk, isolate: bool) -> None:
+        """Dispatch one chunk's entropy + pixel programs (async on device)."""
+        try:
+            self._process_chunk(chunk, isolate=isolate)
+        except JpegError:
+            if not isolate:
+                raise
+            # skip mode: a chunk the chosen backend cannot take (e.g.
+            # fsm outside its envelope) falls back to per-image host
+            # decode so one bad stream never poisons its chunk
+            self._process_chunk_host(chunk, isolate=True)
+
     def decode_parsed(
         self, imgs: list[JpegImage], fetch: bool = True, on_error: str = "raise"
     ) -> list[np.ndarray] | None:
@@ -332,17 +378,19 @@ class BatchDecoder:
             t0 = time.perf_counter()
             # async device dispatch: chunk n's device stages overlap chunk
             # n+1's host work
-            try:
-                self._process_chunk(chunk, isolate=isolate)
-            except JpegError:
-                if not isolate:
-                    raise
-                # skip mode: a chunk the chosen backend cannot take (e.g.
-                # fsm outside its envelope) falls back to per-image host
-                # decode so one bad stream never poisons its chunk
-                self._process_chunk_host(chunk, isolate=True)
+            self._dispatch_chunk(chunk, isolate)
             t_ent += time.perf_counter() - t0
+        return self._finish(chunks, len(imgs), t_start, t_ent, fetch, isolate)
 
+    def _finish(
+        self,
+        chunks: list[_Chunk],
+        n_images: int,
+        t_start: float,
+        t_ent: float,
+        fetch: bool,
+        isolate: bool,
+    ) -> list[np.ndarray] | None:
         n_env = n_mal = 0
         t0 = time.perf_counter()
         for chunk in chunks:
@@ -361,9 +409,11 @@ class BatchDecoder:
         t_dev = time.perf_counter() - t0
 
         self.stats = BatchStats(
-            n_images=len(imgs),
-            compressed_bytes=sum(im.scan_data.size for im in imgs),
-            pixels=sum(im.width * im.height for im in imgs),
+            n_images=n_images,
+            compressed_bytes=sum(
+                im.scan_data.size for c in chunks for im in c.imgs
+            ),
+            pixels=sum(im.width * im.height for c in chunks for im in c.imgs),
             entropy_s=t_ent,
             device_s=t_dev,
             total_s=time.perf_counter() - t_start,
@@ -379,7 +429,7 @@ class BatchDecoder:
         if not fetch:
             return None
 
-        results: list[np.ndarray | None] = [None] * len(imgs)
+        results: list[np.ndarray | None] = [None] * n_images
         repaired = 0
         for chunk in chunks:
             rgb, risk, _ = chunk.out
@@ -406,34 +456,67 @@ class BatchDecoder:
     def decode(
         self, datas: list[bytes], fetch: bool = True, on_error: str = "raise"
     ):
-        """Parse + decode a batch of JPEG byte strings.
+        """Parse + decode a batch of JPEG byte strings, pipelined.
+
+        Parsing runs on the thread pool while full chunks dispatch to the
+        device immediately — chunk n's parse/de-stuff/plan overlaps chunk
+        n-1's upload and device stages (the host-level realization of the
+        reference's pipe2 producer/consumer experiment,
+        legacy_versions/cudaO-implementation/src/parser_pipe2.cu).
 
         on_error: 'raise' propagates the first malformed stream;
         'skip' isolates failures — bad entries yield None (fetch=True) and
         the failure list lands in stats (the per-item retry/skip policy the
         reference lacks entirely; SURVEY §6 failure detection).
         """
-        t0 = time.perf_counter()
-        if on_error == "raise":
-            imgs = list(self.pool.map(parse, datas))
-            bad: dict[int, str] = {}
-        elif on_error == "skip":
-            imgs, bad = [], {}
-            pos_of = []
-            for i, res in enumerate(
-                self.pool.map(lambda d: _try_parse(d), datas)
-            ):
-                if isinstance(res, JpegImage):
-                    pos_of.append(i)
-                    imgs.append(res)
-                else:
-                    bad[i] = res
-        else:
+        if on_error not in ("raise", "skip"):
             raise ValueError(f"on_error={on_error!r}")
-        t_parse = time.perf_counter() - t0
-        out = self.decode_parsed(imgs, fetch=fetch, on_error=on_error)
+        t_start = time.perf_counter()
+        isolate = on_error == "skip"
+        futs = [
+            self.pool.submit(_try_parse if isolate else parse, d)
+            for d in datas
+        ]
+        bad: dict[int, str] = {}
+        pos_of: list[int] = []
+        n_parsed = 0
+        buckets: dict[Geometry, tuple[list, list]] = {}
+        chunks: list[_Chunk] = []
+        t_parse = 0.0
+        t_ent = 0.0
+
+        def flush(geom, idxs, ims):
+            nonlocal t_ent
+            chunk = _Chunk(geom, list(idxs), list(ims))
+            idxs.clear()
+            ims.clear()
+            t0 = time.perf_counter()
+            self._dispatch_chunk(chunk, isolate)
+            t_ent += time.perf_counter() - t0
+            chunks.append(chunk)
+
+        for i, f in enumerate(futs):
+            t0 = time.perf_counter()
+            res = f.result()  # later parses keep running on the pool
+            t_parse += time.perf_counter() - t0
+            if isolate and not isinstance(res, JpegImage):
+                bad[i] = res
+                continue
+            pos_of.append(i)
+            j = n_parsed
+            n_parsed += 1
+            geom = Geometry.of(res)
+            idxs, ims = buckets.setdefault(geom, ([], []))
+            idxs.append(j)
+            ims.append(res)
+            if len(idxs) == self.chunk_size:
+                flush(geom, idxs, ims)
+        for geom, (idxs, ims) in buckets.items():
+            if idxs:
+                flush(geom, idxs, ims)
+
+        out = self._finish(chunks, n_parsed, t_start, t_ent, fetch, isolate)
         self.stats.parse_s = t_parse
-        self.stats.total_s += t_parse
         if bad:
             # merge parse failures with decode failures (rebased to the
             # caller's original indices)

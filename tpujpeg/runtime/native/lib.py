@@ -23,10 +23,20 @@ from . import build
 # per-block truncation checks (~210 bytes; see entropy.cpp).
 _SCAN_PAD = 512
 
+class Int16RangeError(JpegError):
+    """int16 output cannot represent the stream's DC predictor walk.
+
+    Only reachable on corrupt-but-decodable streams (conformant baseline
+    keeps |DC| <= 2047); callers retry on the int32 path so the
+    "same garbage, bit-for-bit" robustness contract holds for every
+    output dtype (round-1 advisor finding)."""
+
+
 _ERRORS = {
     -1: "invalid Huffman code in scan",
     -2: "stream ended early: missing restart segment",
     -3: "truncated scan: bit reader ran past end of data",
+    -4: "DC predictor exceeds int16 output range (corrupt stream)",
 }
 
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -136,6 +146,8 @@ class NativeRuntime:
             luts,
             out.reshape(-1),
         )
+        if rc == -4:
+            raise Int16RangeError(_ERRORS[-4])
         if rc != 0:
             raise JpegError(_ERRORS.get(rc, f"native decode failed ({rc})"))
         return out
@@ -152,7 +164,7 @@ def load() -> NativeRuntime:
         if _runtime is None:
             path = build.build()
             dll = ctypes.CDLL(str(path))
-            if dll.tpj_version() != 3:
+            if dll.tpj_version() != 4:
                 raise RuntimeError("native ABI version mismatch")
             _runtime = NativeRuntime(dll)
     return _runtime

@@ -43,6 +43,7 @@ enum : int32_t {
   kErrInvalidCode = -1,
   kErrMissingSegment = -2,
   kErrTruncated = -3,
+  kErrDcOverflow = -4,  // int16 output cannot hold the DC predictor
 };
 
 struct BitReader {
@@ -137,6 +138,14 @@ static int32_t decode_range(const uint8_t* scan, int64_t scan_len,
       if (e == 0) return kErrInvalidCode;
       int size = e & 0xFF;
       dc_pred[pattern[b]] += extend(size, br.get_bits(size));
+      if (sizeof(OutT) == 2 &&
+          (dc_pred[pattern[b]] > 32767 || dc_pred[pattern[b]] < -32768)) {
+        // Conformant streams keep |DC| <= 2047; a corrupt-but-decodable
+        // stream can walk the predictor out of int16 range, where a
+        // silent wrap would diverge from the int32 oracle (round-1
+        // advisor finding).  Surface it; callers retry on a wider path.
+        return kErrDcOverflow;
+      }
       block[0] = OutT(dc_pred[pattern[b]]);
       // AC: run/size symbols (cpp parser.cpp:113-135).
       int k = 1;
@@ -250,7 +259,7 @@ static int32_t entropy_decode_impl(
 
 extern "C" {
 
-int32_t tpj_version() { return 3; }
+int32_t tpj_version() { return 4; }
 
 int32_t tpj_entropy_decode(
     const uint8_t* scan, int64_t scan_len,
