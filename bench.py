@@ -144,20 +144,13 @@ def main():
                 pad = np.zeros((args.chunk - len(part),) + quant.shape[1:], np.int32)
                 quant = np.concatenate([quant, pad])
             chunks.append(
-                (
-                    jax.device_put(jnp.asarray(plan.xs)),
-                    jax.device_put(jnp.asarray(plan.seg_n_blocks)),
-                    jax.device_put(jnp.asarray(quant)),
-                    plan,
-                )
+                (fsm.upload_plan(plan), jax.device_put(jnp.asarray(quant)), plan)
             )
 
         def run_device():
             fences = []
-            for xs_d, snb_d, q_d, plan in chunks:
-                per_lane, _errs, _ = fsm._decode_jit(
-                    xs_d, snb_d, tables=plan.tables, max_blk=plan.max_blk
-                )
+            for uploaded, q_d, plan in chunks:
+                per_lane, _errs = fsm.decode_plan(plan, uploaded=uploaded)
                 cf = fsm.assemble_batched(
                     per_lane, layout=plan.layout, pad_to=args.chunk
                 ).reshape(args.chunk, geom.n_blocks, 64)

@@ -158,3 +158,33 @@ def test_fsm_invalid_peek_maps_to_invalid_piece():
             key = (tbl_id << 16) | peek
             j = bisect.bisect_right(tables.piece_keys, key) - 1
             assert (tables.piece_vals[j] >> 17) == fsm.INVALID_LEN
+
+
+def test_fsm_grouped_stride_packing():
+    # Mixed segment lengths split lanes into two stride classes (upload/
+    # scan padding diet); results must stay bit-exact and in lane order.
+    import cv2
+
+    def enc(arr):
+        ok, e = cv2.imencode(
+            ".jpg", arr,
+            [cv2.IMWRITE_JPEG_QUALITY, 95, cv2.IMWRITE_JPEG_RST_INTERVAL, 1,
+             cv2.IMWRITE_JPEG_SAMPLING_FACTOR, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444],
+        )
+        assert ok
+        return e.tobytes()
+
+    rng = np.random.default_rng(3)
+    noisy = [
+        parse(enc(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)))
+        for _ in range(3)
+    ]
+    flat = [
+        parse(enc(np.full((48, 64, 3), 128 + i, dtype=np.uint8)))
+        for i in range(3)
+    ]
+    imgs = noisy + flat  # 6 x 48 = 288 segments, two length classes
+    plan = fsm.build_plan(imgs)
+    assert len(plan.groups) == 2, [g[0].shape for g in plan.groups]
+    assert plan.groups[0][0].shape[0] > plan.groups[1][0].shape[0]  # strides
+    np.testing.assert_array_equal(fsm.entropy_decode_fsm(imgs), oracle_batch(imgs))

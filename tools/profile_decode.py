@@ -87,14 +87,15 @@ def main():
     print(f"{'host: fsm.build_plan':<44s} "
           f"{(time.perf_counter() - t0) * 1e3:9.2f} ms")
     geom = Geometry.of(imgs[0])
-    L = plan.xs.shape[1]
-    stride = plan.xs.shape[0]
     comp = sum(len(d) for d in datas)
-    print(f"lanes={L} stride={stride} max_blk={plan.max_blk} "
-          f"compressed={comp/1e6:.2f} MB n_blocks/img={geom.n_blocks}")
+    shapes = " + ".join(f"[{xs.shape[0]}x{xs.shape[1]}]" for xs, _ in plan.groups)
+    print(f"groups={shapes} max_blk={plan.max_blk} "
+          f"compressed={comp/1e6:.2f} MB n_blocks/img={geom.n_blocks} "
+          f"upload={sum(xs.nbytes for xs, _ in plan.groups)/1e6:.1f} MB")
 
-    xs = jnp.asarray(plan.xs)
-    snb = jnp.asarray(plan.seg_n_blocks)
+    xs = jnp.asarray(plan.groups[0][0])
+    snb = jnp.asarray(plan.groups[0][1])
+    L = xs.shape[1]
 
     # -- dispatch floor: trivial program round trip
     trivial = jax.jit(lambda a: a.sum())
@@ -110,21 +111,25 @@ def main():
           xs, snb, iters=args.iters)
 
     # -- scan with an 8x narrower lane matrix (latency vs throughput probe)
-    xs8 = jnp.asarray(plan.xs[:, : max(128, L // 8)])
-    snb8 = jnp.asarray(plan.seg_n_blocks[: max(128, L // 8)])
+    xs8 = xs[:, : max(128, L // 8)]
+    snb8 = snb[: max(128, L // 8)]
     timed(f"fsm scan only (lanes={xs8.shape[1]})",
           functools.partial(scan_only, tables=plan.tables),
           xs8, snb8, iters=args.iters)
 
-    # -- full _decode_jit (scan + butterflies + DC cumsum)
+    # -- full _decode_jit on group 0 (scan + butterflies + DC cumsum)
     dec = functools.partial(
         fsm._decode_jit, tables=plan.tables, max_blk=plan.max_blk
     )
-    timed("fsm._decode_jit (scan+butterflies+cumsum)", dec, xs, snb,
+    timed("fsm._decode_jit grp0 (scan+butterfl+cumsum)", dec, xs, snb,
           iters=args.iters)
 
-    # -- butterflies alone: re-run decode but time against scan-only delta
-    per_lane, errs, _ = dec(xs, snb)
+    # -- full decode_plan: all groups + un-shuffle gather
+    uploaded = fsm.upload_plan(plan)
+    timed("fsm.decode_plan (all groups + unshuffle)",
+          lambda: fsm.decode_plan(plan, uploaded=uploaded), iters=args.iters)
+
+    per_lane, errs = fsm.decode_plan(plan, uploaded=uploaded)
 
     # -- device assemble
     B = args.images
@@ -147,33 +152,20 @@ def main():
           iters=args.iters)
 
     # -- whole chain, separate dispatches (the engine's current shape)
-    def chain(xs, snb, qd):
-        pl, errs, _ = dec(xs, snb)
+    def chain(qd):
+        pl, errs = fsm.decode_plan(plan, uploaded=uploaded)
         cf = asm(pl).reshape(B, geom.n_blocks, 64)
         return fn(cf, qd)
 
-    timed("chain: 3 dispatches (decode+asm+pixels)", chain, xs, snb, qd,
+    timed("chain: decode_plan+asm+pixels", chain, qd,
           iters=args.iters, fetch=lambda o: o[0])
 
-    # -- whole chain fused into ONE jit
-    @jax.jit
-    def fused(xs, snb, qd):
-        pl, (em, ee), _ = fsm._decode_jit(
-            xs, snb, tables=plan.tables, max_blk=plan.max_blk
-        )
-        cf = fsm.assemble_batched(pl, layout=plan.layout, pad_to=B)
-        cf = cf.reshape(B, geom.n_blocks, 64)
-        rgb, risk, m = fn(cf, qd)
-        return rgb, risk, m, em, ee
-
-    timed("chain: FUSED single jit", fused, xs, snb, qd, iters=args.iters,
+    # -- upload cost for the scan bytes (all groups)
+    hosts = [np.asarray(g[0]) for g in plan.groups]
+    nbytes = sum(h.nbytes for h in hosts)
+    timed(f"upload scan bytes ({nbytes/1e6:.1f} MB)",
+          lambda: [jax.device_put(h) for h in hosts], iters=args.iters,
           fetch=lambda o: o[0])
-
-    # -- upload cost for the scan bytes
-    up = jax.jit(lambda a: a)
-    xs_host = np.asarray(plan.xs)
-    timed(f"upload scan bytes ({xs_host.nbytes/1e6:.1f} MB)",
-          lambda: jax.device_put(xs_host), iters=args.iters)
 
 
 if __name__ == "__main__":

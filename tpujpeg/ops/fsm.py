@@ -242,24 +242,67 @@ def _build_tables_uncached(img: JpegImage) -> FsmTables:
 
 @dataclass(frozen=True)
 class FsmPlan:
-    """Device-ready column matrix + lane metadata for one batch."""
+    """Device-ready column matrices + lane metadata for one batch.
 
-    xs: np.ndarray            # uint8 [stride, L] — lane byte columns
-    seg_n_blocks: np.ndarray  # int32 [L] (0 = padding lane)
+    Lanes are grouped by segment length (up to two stride classes): one
+    outlier segment otherwise forces every lane's scan and upload to its
+    stride.  `groups` holds per-group (xs uint8 [stride_g, Lg], seg_n
+    int32 [Lg]); `perm[i]` is the row of original lane i in the
+    group-concatenated per-lane output (the un-shuffle is one big-row
+    gather, measured at the dispatch floor — PERFORMANCE.md).
+    """
+
+    groups: tuple              # ((xs, seg_n_blocks), ...)
+    perm: np.ndarray           # int32 [n_segments]
     tables: FsmTables
-    max_blk: int              # max blocks in any lane (static)
+    max_blk: int               # max blocks in any lane (static)
     # assembly: per image, (first_lane, n_lanes, blocks_per_full_lane,
     #                       blocks_in_last_lane)
     layout: tuple
     n_blocks_total: int
+
+    # single-group convenience (graft dryrun, white-box tests)
+    @property
+    def xs(self) -> np.ndarray:
+        assert len(self.groups) == 1, "multi-group plan: use .groups"
+        return self.groups[0][0]
+
+    @property
+    def seg_n_blocks(self) -> np.ndarray:
+        assert len(self.groups) == 1, "multi-group plan: use .groups"
+        return self.groups[0][1]
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _stride_bucket(longest: int) -> int:
+    # Stride buckets: pow2 up to 1 KiB, then 512-byte steps — the column
+    # scan costs wall-clock per column, so coarse pow2 buckets would waste
+    # up to half the decode on padding columns.
+    stride = 64
+    while stride < min(longest, 1024):
+        stride *= 2
+    if longest > stride:
+        stride = _round_up(longest, 512)
+    return stride
+
+
+def _pack_group(seg_bytes, nblocks, idxs):
+    stride = _stride_bucket(max(seg_bytes[i].size for i in idxs))
+    Lg = _round_up(max(len(idxs), 8), 128)
+    xs = np.zeros((Lg, stride), np.uint8)
+    seg_n = np.zeros(Lg, np.int32)
+    for row, i in enumerate(idxs):
+        b = seg_bytes[i]
+        xs[row, : b.size] = b
+        seg_n[row] = nblocks[i]
+    return np.ascontiguousarray(xs.T), seg_n
+
+
 def build_plan(imgs: list[JpegImage]) -> FsmPlan:
-    """Pack the restart segments of a batch into the FSM lane matrix."""
+    """Pack the restart segments of a batch into grouped lane matrices."""
     tables = build_tables(imgs[0])
     pattern0 = imgs[0].mcu_block_pattern()
     bpm = len(pattern0)
@@ -290,29 +333,39 @@ def build_plan(imgs: list[JpegImage]) -> FsmPlan:
         layout.append((first, need, rib, last))
         n_blocks_total += img.n_mcus * bpm
 
-    L = _round_up(max(len(seg_bytes), 8), 128)
-    # Stride buckets: pow2 up to 1 KiB, then 512-byte steps — the column
-    # scan costs wall-clock per column, so coarse pow2 buckets would waste
-    # up to half the decode on padding columns.
-    longest = max(b.size for b in seg_bytes)
-    stride = 64
-    while stride < min(longest, 1024):
-        stride *= 2
-    if longest > stride:
-        stride = _round_up(longest, 512)
-    xs = np.zeros((L, stride), np.uint8)
-    for i, b in enumerate(seg_bytes):
-        xs[i, : b.size] = b
-    seg_n = np.zeros(L, np.int32)
-    seg_n[: len(nblocks)] = nblocks
+    # Two stride classes: lanes in the top bucket vs the rest.  Worth it
+    # only when the split saves real upload/scan bytes AND the short group
+    # is a substantial share (each group costs a dispatch + a jit entry).
+    lens = np.array([b.size for b in seg_bytes], np.int64)
+    top_stride = _stride_bucket(int(lens.max()))
+    group_idxs: list[list[int]] = [list(range(len(seg_bytes)))]
+    if len(seg_bytes) >= 256:
+        short = [i for i in range(len(seg_bytes))
+                 if _stride_bucket(int(lens[i])) < top_stride]
+        if len(short) >= 128 and len(seg_bytes) - len(short) >= 8:
+            short_stride = _stride_bucket(int(lens[np.asarray(short)].max()))
+            if short_stride <= top_stride // 2:
+                short_set = set(short)
+                long = [i for i in range(len(seg_bytes)) if i not in short_set]
+                group_idxs = [long, short]
+
+    groups = []
+    perm = np.zeros(len(seg_bytes), np.int32)
+    base = 0
+    for idxs in group_idxs:
+        groups.append(_pack_group(seg_bytes, nblocks, idxs))
+        for row, i in enumerate(idxs):
+            perm[i] = base + row
+        base += groups[-1][1].shape[0]
+
     # Bucket the lane capacity so nearby geometries share one compile
     # (axon compiles are minutes; the spread network only grows ~2x).
     max_blk = 8
     while max_blk < max(nblocks):
         max_blk *= 2
     return FsmPlan(
-        xs=np.ascontiguousarray(xs.T),
-        seg_n_blocks=seg_n,
+        groups=tuple(groups),
+        perm=perm,
         tables=tables,
         max_blk=max_blk,
         layout=tuple(layout),
@@ -750,19 +803,52 @@ def assemble_batched(per_lane: jnp.ndarray, *, layout, pad_to: int):
     return out
 
 
-def decode_plan(plan: FsmPlan):
-    """Run the FSM decoder -> (per_lane [L, max_blk, 64] device, err masks).
+def upload_plan(plan: FsmPlan):
+    """Stage a plan's lane matrices + permutation on the device.
 
-    Returns (per_lane, (err_malformed, err_envelope)); or-ing the masks
-    gives the per-lane failure flag.
-    """
-    per_lane, errs, _ = _decode_jit(
-        jnp.asarray(plan.xs),
-        jnp.asarray(plan.seg_n_blocks),
-        tables=plan.tables,
-        max_blk=plan.max_blk,
+    Separated from decode_plan so benchmarks can exclude the host->device
+    transfer, matching the reference's kernel-only timing."""
+    return (
+        tuple(
+            (jax.device_put(jnp.asarray(xs)), jax.device_put(jnp.asarray(sn)))
+            for xs, sn in plan.groups
+        ),
+        jax.device_put(jnp.asarray(plan.perm)),
     )
-    return per_lane, errs
+
+
+@jax.jit
+def _gather_rows(stacked, perm):
+    return jnp.take(stacked, perm, axis=0)
+
+
+def decode_plan(plan: FsmPlan, uploaded=None):
+    """Run the FSM decoder -> (per_lane [n_segs, max_blk, 64], err masks).
+
+    Rows are in original lane (scan) order; or-ing the masks gives the
+    per-lane failure flag.  Each stride group runs as its own scan; the
+    group-concatenated output is un-shuffled by one big-row gather
+    (`plan.perm`), which measures at the dispatch floor."""
+    groups, perm = uploaded if uploaded is not None else upload_plan(plan)
+    pls, mals, envs = [], [], []
+    for xs_d, sn_d in groups:
+        per_lane, (err_mal, err_env), _ = _decode_jit(
+            xs_d, sn_d, tables=plan.tables, max_blk=plan.max_blk
+        )
+        pls.append(per_lane)
+        mals.append(err_mal)
+        envs.append(err_env)
+    if len(groups) == 1:
+        # single stride class: rows are already in lane order (identity
+        # perm); skip the gather dispatch.  Rows past n_segments are
+        # padding lanes (seg_n 0 -> done at init -> no error).
+        return pls[0], (mals[0], envs[0])
+    pl = jnp.concatenate(pls, axis=0)
+    mal = jnp.concatenate(mals)
+    env = jnp.concatenate(envs)
+    per_lane = _gather_rows(pl, perm)
+    errs = _gather_rows(jnp.stack([mal, env], axis=1), perm)
+    return per_lane, (errs[:, 0], errs[:, 1])
 
 
 def entropy_decode_fsm(imgs: list[JpegImage]) -> np.ndarray:
