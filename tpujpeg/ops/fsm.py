@@ -333,21 +333,30 @@ def build_plan(imgs: list[JpegImage]) -> FsmPlan:
         layout.append((first, need, rib, last))
         n_blocks_total += img.n_mcus * bpm
 
-    # Two stride classes: lanes in the top bucket vs the rest.  Worth it
-    # only when the split saves real upload/scan bytes AND the short group
-    # is a substantial share (each group costs a dispatch + a jit entry).
+    # Two stride classes: pick the split threshold that minimizes total
+    # padded bytes (one outlier segment otherwise forces every lane's
+    # upload and scan columns to its stride).  Worth a second dispatch +
+    # jit entry only when it saves a real fraction and both groups are
+    # substantial.
     lens = np.array([b.size for b in seg_bytes], np.int64)
     top_stride = _stride_bucket(int(lens.max()))
     group_idxs: list[list[int]] = [list(range(len(seg_bytes)))]
     if len(seg_bytes) >= 256:
-        short = [i for i in range(len(seg_bytes))
-                 if _stride_bucket(int(lens[i])) < top_stride]
-        if len(short) >= 128 and len(seg_bytes) - len(short) >= 8:
-            short_stride = _stride_bucket(int(lens[np.asarray(short)].max()))
-            if short_stride <= top_stride // 2:
-                short_set = set(short)
-                long = [i for i in range(len(seg_bytes)) if i not in short_set]
-                group_idxs = [long, short]
+        buckets = np.array([_stride_bucket(int(x)) for x in lens])
+        base_cost = len(seg_bytes) * top_stride
+        best = (base_cost, None)
+        for v in sorted(set(buckets.tolist()))[:-1]:
+            n_short = int((buckets <= v).sum())
+            if n_short < 128 or len(seg_bytes) - n_short < 8:
+                continue
+            cost = n_short * v + (len(seg_bytes) - n_short) * top_stride
+            if cost < best[0]:
+                best = (cost, v)
+        if best[1] is not None and best[0] < 0.9 * base_cost:
+            v = best[1]
+            short = np.flatnonzero(buckets <= v).tolist()
+            long = np.flatnonzero(buckets > v).tolist()
+            group_idxs = [long, short]
 
     groups = []
     perm = np.zeros(len(seg_bytes), np.int32)

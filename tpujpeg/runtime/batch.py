@@ -96,6 +96,17 @@ class BatchStats:
         return dict(self.__dict__)
 
 
+@jax.jit
+def _pack_fence(rgb, err_mal, err_env):
+    return jnp.stack(
+        [
+            rgb[..., :1, :1, :1].sum().astype(jnp.int32),
+            jnp.any(err_mal).astype(jnp.int32),
+            jnp.any(err_env).astype(jnp.int32),
+        ]
+    )
+
+
 def _force_done(out) -> None:
     """Block until a chunk's device program has really finished.
 
@@ -117,6 +128,7 @@ class _Chunk:
     err_mal: object = None             # device malformed mask (fsm backend)
     err_env: object = None             # device envelope mask (fsm backend)
     out: object = None                 # device (rgb, risk, metrics)
+    fence: object = None               # device [3] int32: rgb probe, err bits
     backend: str = ""
     failed: dict | None = None         # local index -> message (skip mode)
 
@@ -305,6 +317,11 @@ class BatchDecoder:
         chunk.coeffs_dev = coeffs
         chunk.err_mal = err_mal
         chunk.err_env = err_env
+        # One combined completion fence: a real output element plus the
+        # error bits, fetched in a single host round-trip (every separate
+        # device_get costs ~25-30 ms over this tunnel).
+        rgb = chunk.out[0]
+        chunk.fence = _pack_fence(rgb, err_mal, err_env)
         chunk.backend = "fsm"
         return True
 
@@ -394,10 +411,9 @@ class BatchDecoder:
         n_env = n_mal = 0
         t0 = time.perf_counter()
         for chunk in chunks:
-            _force_done(chunk.out)
-            if chunk.err_mal is not None:
-                mal = bool(jax.device_get(jnp.any(chunk.err_mal)))
-                env = bool(jax.device_get(jnp.any(chunk.err_env)))
+            if chunk.fence is not None:
+                flags = np.asarray(jax.device_get(chunk.fence))
+                mal, env = bool(flags[1]), bool(flags[2])
                 if mal or env:
                     # bad stream or outside-envelope stream on the device
                     # path: redo on the host decoder, which raises (or, in
@@ -406,6 +422,8 @@ class BatchDecoder:
                     n_env += int(env and not mal)
                     self._process_chunk_host(chunk, isolate=isolate)
                     _force_done(chunk.out)
+            else:
+                _force_done(chunk.out)
         t_dev = time.perf_counter() - t0
 
         self.stats = BatchStats(
