@@ -16,7 +16,9 @@ EPS = 1e-3 gives an 8x margin over the worst observed deviation and also
 absorbs compiler rounding differences (e.g. FMA fusion on the VPU, which
 contributes at most ~1 extra ulp); flagged fraction is ~0.2%/channel.
 tools/check_color_device.py re-proves the bound against the actual compiled
-TPU kernel.
+TPU kernel; the round-2 run over 33.5M domain points on the real v5e found
+0 unflagged mismatches at 0.978% flagged
+(benchmark_results/color_device_proof.json).
 """
 
 from __future__ import annotations

@@ -341,13 +341,13 @@ def build_plan(imgs: list[JpegImage]) -> FsmPlan:
     lens = np.array([b.size for b in seg_bytes], np.int64)
     top_stride = _stride_bucket(int(lens.max()))
     group_idxs: list[list[int]] = [list(range(len(seg_bytes)))]
-    if len(seg_bytes) >= 256:
+    if len(seg_bytes) >= 192:
         buckets = np.array([_stride_bucket(int(x)) for x in lens])
         base_cost = len(seg_bytes) * top_stride
         best = (base_cost, None)
         for v in sorted(set(buckets.tolist()))[:-1]:
             n_short = int((buckets <= v).sum())
-            if n_short < 128 or len(seg_bytes) - n_short < 8:
+            if n_short < 96 or len(seg_bytes) - n_short < 8:
                 continue
             cost = n_short * v + (len(seg_bytes) - n_short) * top_stride
             if cost < best[0]:
