@@ -9,6 +9,7 @@ row order with strictly increasing targets.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from tpujpeg.ops import fsm, materialize
@@ -69,7 +70,54 @@ def test_pallas_taller_than_M():
 
 def test_use_pallas_gating(monkeypatch):
     # experiment is opt-in, and even then never on CPU backends
+    if jax.default_backend() != "cpu":
+        pytest.skip("gating asserts are for the CPU backend")
     monkeypatch.delenv("TPUJPEG_PALLAS", raising=False)
     assert not materialize._use_pallas(1024, 1024, 256)
     monkeypatch.setenv("TPUJPEG_PALLAS", "1")
     assert not materialize._use_pallas(1024, 1024, 256)  # cpu backend
+
+
+@pytest.mark.parametrize(
+    "n_rows,max_blk", [(2304, 64), (2500, 35), (700, 47), (4000, 33)]
+)
+def test_v3_matches_xla(n_rows, max_blk):
+    # shapes straddle the window size: padding of N and M to _W multiples,
+    # N > M truncation, and multi-window grids are all exercised
+    rng = np.random.default_rng(n_rows)
+    L = 128
+    M = max_blk * 64
+    ev, want = _random_events(rng, n_rows, max_blk, L, 0.25)
+    ev[:, 0] = -1  # fully-empty lane
+    want[:, 0] = 0
+    got = np.asarray(
+        materialize.place_events_v3(jnp.asarray(ev), M=M, interpret=True)
+    ).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(_xla_place(ev, M), want)
+
+
+def test_v3_gating(monkeypatch):
+    # default-on for TPU backends only, bounded by int16 offsets
+    if jax.default_backend() == "cpu":
+        assert not materialize._use_pallas_v3(7680, 16384, 2560)  # cpu backend
+    else:
+        assert materialize._use_pallas_v3(7680, 16384, 2560)
+        assert not materialize._use_pallas_v3(7680, 40000, 2560)  # int16 bound
+    monkeypatch.setenv("TPUJPEG_PALLAS_V3", "0")
+    assert not materialize._use_pallas_v3(7680, 16384, 2560)
+
+
+def test_v3_compiled_on_chip():
+    # Mosaic lowering limits are invisible to interpret mode: when the
+    # real chip is available, the COMPILED kernels must match exactly
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real chip (TPUJPEG_TEST_TPU=1)")
+    rng = np.random.default_rng(42)
+    n_rows, max_blk, L = 2304, 40, 256
+    M = max_blk * 64
+    ev, want = _random_events(rng, n_rows, max_blk, L, 0.25)
+    got = np.asarray(
+        materialize.place_events_v3(jnp.asarray(ev), M=M)
+    ).astype(np.int32)
+    np.testing.assert_array_equal(got, want)

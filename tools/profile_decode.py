@@ -160,6 +160,22 @@ def main():
     timed("chain: decode_plan+asm+pixels", chain, qd,
           iters=args.iters, fetch=lambda o: o[0])
 
+    # -- marginal cost of extra chunks in flight: dispatch N independent
+    # chains back-to-back, fence once.  If the ~30 ms dispatch floor
+    # amortizes, marginal cost per chunk ≈ real compute only.
+    def chain_n(n):
+        outs = [chain(qd) for _ in range(n)]
+        return outs[-1]
+
+    t1 = timed("chain x1 (fence once)", lambda: chain_n(1),
+               iters=args.iters, fetch=lambda o: o[0])
+    t2 = timed("chain x2 (fence once)", lambda: chain_n(2),
+               iters=args.iters, fetch=lambda o: o[0])
+    t4 = timed("chain x4 (fence once)", lambda: chain_n(4),
+               iters=args.iters, fetch=lambda o: o[0])
+    print(f"{'marginal per extra chunk (x2, x4)':<44s} "
+          f"{(t2 - t1) * 1e3:7.2f} / {(t4 - t2) / 2 * 1e3:7.2f} ms")
+
     # -- upload cost for the scan bytes (all groups)
     hosts = [np.asarray(g[0]) for g in plan.groups]
     nbytes = sum(h.nbytes for h in hosts)

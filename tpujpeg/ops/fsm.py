@@ -760,9 +760,12 @@ def _decode_jit(
     M = max_blk * 64
     from . import materialize
 
-    if materialize._use_pallas(ev.shape[0], M, L):
-        # all butterfly passes VMEM-resident per 128-lane tile (the XLA
-        # path below round-trips HBM every pass — measured ~40 ms/chunk)
+    if materialize._use_pallas_v3(ev.shape[0], M, L):
+        # windowed Pallas butterflies (materialize.py v3): fine routing
+        # stages VMEM-resident, ~26 HBM round-trips -> ~7 + 2 kernels
+        coeffs_t = materialize.place_events_v3(ev, M=M).astype(jnp.int32)
+    elif materialize._use_pallas(ev.shape[0], M, L):
+        # v1 experiment (TPUJPEG_PALLAS=1): kept for comparison
         coeffs_t = materialize.place_events_pallas(ev, M=M).astype(jnp.int32)
     else:
         valid = ev >= 0

@@ -154,6 +154,240 @@ def _spread_kernel(cp_ref, out_ref):
     out_ref[:] = jnp.where(o == 0, p, jnp.int16(0))
 
 
+# ---------------------------------------------------------------------------
+# v3: windowed kernels, int16 storage + int32 in-kernel compute
+# ---------------------------------------------------------------------------
+#
+# Probing the chip (round 2) pinned down Mosaic's int16 vector support on
+# this stack (jax 0.9, v5e): ONLY add / and / or / xor / not and the
+# int16<->int32 converts lower; every shift (shrsi/shrui/shli), sub, mul,
+# min/max, compare and select on int16 fails to legalize.  So v2's
+# "comparison-free int16 arithmetic" design cannot lower, and full-size
+# int32 blocks blow the ~16 MB VMEM budget (a [7680, 128] int32 plane is
+# 3.9 MB and a routing stage keeps ~5 live).
+#
+# v3 resolves the bind with WINDOWING, exploiting that butterfly routing
+# is local at small distances:
+#   * compact stages d < W move entries UP by < W rows total, so they run
+#     VMEM-resident per (window, lane-tile) on a [2W, tile] stack of the
+#     window and its SUCCESSOR, int32 in-register ([2W=2048, 128] int32 is
+#     1 MB/plane — comfortable); the few stages d >= W (3 at production
+#     shapes) run in XLA over the HBM matrix;
+#   * spread mirrors it: coarse stages d >= W in XLA bring every entry
+#     within W rows of its target, then stages d < W run on a stack of
+#     the window and its PREDECESSOR (entries move DOWN).
+# Masked-roll routing is per-entry self-determined (an entry's path
+# depends only on its own offset bits), so restricting a network to the
+# stack is a faithful sub-network of the proven global one
+# (ops/fsm.py _compact/_spread); collision-freeness at every intermediate
+# stage means each window's rows are well-defined mid-network.
+# HBM round-trips: ~26 XLA passes -> ~7 XLA passes + 2 Pallas kernels.
+
+_W = 1024  # window rows for the fine (VMEM-resident) stages
+
+
+def _scalar_mask(cond_i32):
+    """all-ones int32 where the scalar condition (0/1 int32) holds."""
+    return jnp.int32(0) - cond_i32
+
+
+def _fine_compact_kernel(pc_ref, ps_ref, oc_ref, os_ref, p_out, o_out,
+                         *, n_win: int):
+    """Compact stages d < _W on a [2W, tile] stack (window + successor).
+
+    Entries move UP by (offset & (W-1)) < W during these stages, so every
+    entry whose mid-network position lands in window q starts in the
+    stack; the keep mask drops the rest (they are produced by their own
+    window's grid cell).  The clamped successor of the LAST window is a
+    duplicate of the window itself and is ghost-masked.
+    """
+    from jax.experimental import pallas as pl
+
+    p = jnp.concatenate([pc_ref[:], ps_ref[:]])          # [2W, t] int32
+    o = jnp.concatenate([oc_ref[:], os_ref[:]]).astype(jnp.int32)
+    H = o.shape[0]
+    W = H // 2
+    q = pl.program_id(0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+    # rows >= W are ghosts when q == n_win - 1 (clamped duplicate)
+    m_last = _scalar_mask((q == n_win - 1).astype(jnp.int32))
+    ghost = m_last & ~((pos - W) >> 31)                  # all-ones where ghost
+    exit_local = pos - (o & (W - 1))
+    keep = (o >= 0) & (exit_local >= 0) & (exit_local < W) & (ghost == 0)
+    o = jnp.where(keep, o, -1)
+    p = jnp.where(keep, p, 0)
+    d = 1
+    while d < W:
+        sp = _rolled(p, d, 0)
+        so = _rolled(o, d, -1)
+        move = (so >= 0) & ((so & d) > 0)
+        stay = (o >= 0) & ((o & d) == 0)
+        p = jnp.where(move, sp, jnp.where(stay, p, 0))
+        o = jnp.where(move, so - d, jnp.where(stay, o, -1))
+        d *= 2
+    p_out[:] = p[:W]
+    o_out[:] = o[:W].astype(jnp.int16)
+
+
+def _fine_spread_kernel(op_ref, oc_ref, vp_ref, vc_ref, out_ref):
+    """Spread stages d < _W on a [2W, tile] stack (predecessor + window).
+
+    Coarse XLA stages ran down to d = W, so every remaining offset is
+    < W and entries move DOWN by < W rows: window q's coefficients come
+    from the stack.  Window 0's clamped predecessor duplicate is
+    ghost-masked.
+    """
+    from jax.experimental import pallas as pl
+
+    o = jnp.concatenate([op_ref[:], oc_ref[:]]).astype(jnp.int32)
+    p = jnp.concatenate([vp_ref[:], vc_ref[:]]).astype(jnp.int32)
+    H = o.shape[0]
+    W = H // 2
+    q = pl.program_id(0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+    # rows < W are ghosts when q == 0 (clamped duplicate of window 0)
+    m_q0 = _scalar_mask((q == 0).astype(jnp.int32))
+    ghost = m_q0 & ((pos - W) >> 31)                     # all-ones where ghost
+    land = pos + o                                       # stack frame target
+    keep = (o >= 0) & (land >= W) & (land < 2 * W) & (ghost == 0)
+    o = jnp.where(keep, o, -1)
+    p = jnp.where(keep, p, 0)
+    d = W // 2
+    while d >= 1:
+        sp = _rolled_down(p, d, 0)
+        so = _rolled_down(o, d, -1)
+        move = so >= d
+        stay = (o >= 0) & (o < d)
+        p = jnp.where(move, sp, jnp.where(stay, p, 0))
+        o = jnp.where(move, so - d, jnp.where(stay, o, -1))
+        d //= 2
+    out_ref[:] = jnp.where(o == 0, p, 0)[W:].astype(jnp.int16)
+
+
+def _use_pallas_v3(N: int, M: int, L: int) -> bool:
+    if os.environ.get("TPUJPEG_PALLAS_V3", "1") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    Np = -(-N // _W) * _W
+    Mp = -(-M // _W) * _W
+    # int16 offsets bound both spaces; lane dim must tile by 128; the
+    # windowed kernels need at least two windows each
+    return (
+        Np < 32768 and Mp < 32768
+        and L % LANE_TILE == 0
+        and Np >= 2 * _W and Mp >= 2 * _W
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("M", "interpret"))
+def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False):
+    """events int32 [N, L] (-1 = empty) -> values int16 [M, L].
+
+    Windowed Pallas compact + spread (fine stages VMEM-resident, coarse
+    stages XLA); bit-exact vs the XLA butterflies
+    (tests/test_materialize.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, L = ev.shape
+    W = _W
+    tile = min(LANE_TILE, L)
+    Np = -(-N // W) * W
+    Mp = -(-M // W) * W
+
+    # initial offsets: rank = exclusive prefix count of valid entries
+    valid = ev >= 0
+    vi = valid.astype(jnp.int32)
+    rank = jnp.cumsum(vi, axis=0) - vi
+    pos = jax.lax.broadcasted_iota(jnp.int32, ev.shape, 0)
+    o = jnp.where(valid, pos - rank, -1).astype(jnp.int16)
+    p = jnp.where(valid, ev, 0)
+    if Np > N:
+        o = jnp.concatenate([o, jnp.full((Np - N, L), -1, jnp.int16)])
+        p = jnp.concatenate([p, jnp.zeros((Np - N, L), jnp.int32)])
+
+    # fine compact stages (d < W), Pallas
+    n_win_c = Np // W
+    cur_c = pl.BlockSpec((W, tile), lambda q, i: (q, i),
+                         memory_space=pltpu.VMEM)
+    succ = pl.BlockSpec((W, tile),
+                        lambda q, i: (jnp.minimum(q + 1, n_win_c - 1), i),
+                        memory_space=pltpu.VMEM)
+    p, o = pl.pallas_call(
+        functools.partial(_fine_compact_kernel, n_win=n_win_c),
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, L), jnp.int32),
+            jax.ShapeDtypeStruct((Np, L), jnp.int16),
+        ),
+        grid=(n_win_c, L // tile),
+        in_specs=[cur_c, succ, cur_c, succ],
+        out_specs=(cur_c, cur_c),
+        interpret=interpret,
+    )(p, p, o, o)
+
+    # coarse compact stages (d >= W), XLA over the HBM matrix
+    d = W
+    while d < Np:
+        sp = _rolled(p, d, 0)
+        so = _rolled(o, d, jnp.int16(-1))
+        move = (so >= 0) & ((so & d) > 0)
+        stay = (o >= 0) & ((o & d) == 0)
+        p = jnp.where(move, sp, jnp.where(stay, p, 0))
+        o = jnp.where(move, so - jnp.int16(d), jnp.where(stay, o, jnp.int16(-1)))
+        d *= 2
+
+    # unpack compacted events -> spread offsets/values (int16)
+    cvalid = o >= 0
+    blk = (p >> 18) & 0x1FFF
+    z = (p >> 12) & 63
+    val = (p & 0xFFF) - 2048
+    pos = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    o2 = jnp.where(cvalid, blk * 64 + z - pos, -1).astype(jnp.int16)
+    v = jnp.where(cvalid, val, 0).astype(jnp.int16)
+
+    def fit(x, fill):
+        if Mp > Np:
+            pad = jnp.full((Mp - Np, L), fill, x.dtype)
+            return jnp.concatenate([x, pad])
+        # compacted rank r has target >= r, so rows >= Mp hold no entries
+        return x[:Mp]
+
+    o2, v = fit(o2, jnp.int16(-1)), fit(v, jnp.int16(0))
+
+    # coarse spread stages (d >= W), XLA
+    d = 1
+    while d * 2 < Mp:
+        d *= 2
+    while d >= W:
+        sp = _rolled_down(v, d, jnp.int16(0))
+        so = _rolled_down(o2, d, jnp.int16(-1))
+        move = so >= d
+        stay = (o2 >= 0) & (o2 < d)
+        v = jnp.where(move, sp, jnp.where(stay, v, jnp.int16(0)))
+        o2 = jnp.where(move, so - jnp.int16(d),
+                       jnp.where(stay, o2, jnp.int16(-1)))
+        d //= 2
+
+    # fine spread stages (d < W), Pallas
+    n_win_s = Mp // W
+    cur_s = pl.BlockSpec((W, tile), lambda q, i: (q, i),
+                         memory_space=pltpu.VMEM)
+    pred = pl.BlockSpec((W, tile),
+                        lambda q, i: (jnp.maximum(q - 1, 0), i),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fine_spread_kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, L), jnp.int16),
+        grid=(n_win_s, L // tile),
+        in_specs=[pred, cur_s, pred, cur_s],
+        out_specs=cur_s,
+        interpret=interpret,
+    )(o2, o2, v, v)
+    return out[:M]
+
+
 @functools.partial(jax.jit, static_argnames=("M", "interpret"))
 def place_events_pallas(ev: jnp.ndarray, *, M: int, interpret: bool = False):
     """events int32 [N, L] (-1 = empty) -> values int16 [M, L], Pallas path."""
