@@ -49,4 +49,4 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     rgb, risk = out
-    assert rgb.shape[-1] == 3
+    assert rgb.shape[0] == 3  # planar [3, H, W] device layout

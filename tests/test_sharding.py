@@ -32,7 +32,7 @@ def test_batch_sharded_decode(eight_devices):
     mesh = sharding.make_mesh(n_batch=8, n_stripe=1)
     fn = sharding.compiled_batch_decoder(geom, mesh)
     rgb, risk, total = fn(coeffs, quant)
-    assert rgb.shape == (8, 24, 32, 3)
+    assert rgb.shape == (8, 3, 24, 32)  # device layout is planar
     assert int(total) == 8 * 24 * 32  # psum across the mesh
 
     # Every image matches its single-device decode bit-for-bit (pre-repair).

@@ -38,14 +38,15 @@ _F_GY_INV = np.float32(1.0 / C_GY_DIV)
 _F_128 = np.float32(128.0)
 
 
-def ycbcr_to_rgb(
+def color_channels(
     y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Convert int32 planes to (rgb uint8 [..., 3], risky bool [...]).
+) -> tuple[list[jnp.ndarray], jnp.ndarray]:
+    """Shared core: int planes -> ([r, g, b] uint8 list, risky bool).
 
-    `risky` marks pixels where any channel's pre-truncation value sits
-    within EPS of an integer boundary — the only places the f32 result can
-    disagree with the reference's mixed-precision math.
+    Channels are returned UNstacked so callers choose the layout: the
+    planar device pipeline stacks them on a LEADING axis (a trailing
+    length-3 minor dim runs at 3/128 VPU lane utilization — measured 3x
+    whole-program cost, PERFORMANCE.md).
     """
     yf = y.astype(jnp.float32)
     r = _F_RED * cr.astype(jnp.float32) + yf
@@ -61,6 +62,21 @@ def ycbcr_to_rgb(
         flag = dist < EPS
         risky = flag if risky is None else (risky | flag)
         rgb.append(jnp.clip(trunc.astype(jnp.int32), 0, 255).astype(jnp.uint8))
+    return rgb, risky
+
+
+def ycbcr_to_rgb(
+    y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Convert int32 planes to (rgb uint8 [..., 3], risky bool [...]).
+
+    `risky` marks pixels where any channel's pre-truncation value sits
+    within EPS of an integer boundary — the only places the f32 result can
+    disagree with the reference's mixed-precision math.  Interleaved
+    output is for host-facing helpers; the device pipeline uses
+    :func:`color_channels` + a leading stack instead.
+    """
+    rgb, risky = color_channels(y, cb, cr)
     return jnp.stack(rgb, axis=-1), risky
 
 

@@ -173,7 +173,8 @@ def compiled_stripe_decoder(geom: Geometry, mesh: Mesh, fancy: bool = False):
             planes = decode_subsampled_planes(sub, coeffs_l, quant_l)
             planes = _stripe_upsample(sub, planes, fancy, "stripe")
             rgb, risk = planes_to_rgb(sub, planes)
-            rgb_full = jax.lax.all_gather(rgb, "stripe", axis=0, tiled=True)
+            # rgb is planar [3, h_stripe, W]: stripes tile on the H axis
+            rgb_full = jax.lax.all_gather(rgb, "stripe", axis=1, tiled=True)
             risk_full = jax.lax.all_gather(risk, "stripe", axis=0, tiled=True)
             return rgb_full, risk_full
 
@@ -212,7 +213,9 @@ def decode_striped(
         mesh = make_mesh(n_batch=1, n_stripe=n_stripes or len(jax.devices()))
     fn = compiled_stripe_decoder(geom, mesh, fancy)
     rgb, risk = fn(jnp.asarray(coeffs), jnp.asarray(quant))
-    rgb = np.asarray(jax.device_get(rgb)).astype(np.int32)[: img.height]
+    rgb = np.ascontiguousarray(
+        np.moveaxis(np.asarray(jax.device_get(rgb)), 0, -1)
+    ).astype(np.int32)[: img.height]
     if strict:
         mask = unpack_mask(np.asarray(jax.device_get(risk)), img.width)[: img.height]
         if mask.any():

@@ -27,8 +27,8 @@ import numpy as np
 
 from .constants import NATURAL_TO_ZIGZAG, ZIGZAG_TO_NATURAL
 from .io.parser import JpegImage
-from .ops.color import pack_mask, unpack_mask, ycbcr_to_rgb
-from .ops.idct import idct_blocks
+from .ops.color import color_channels, pack_mask, unpack_mask
+from .ops.idct import idct_planes
 from .oracle import decoder as oracle
 
 
@@ -92,6 +92,42 @@ class Geometry(tuple):
 # ---------------------------------------------------------------------------
 
 
+def _idct_planar(
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray
+) -> jnp.ndarray:
+    """dequant + inverse zigzag + IDCT in coefficient-major (SoA) layout.
+
+    Returns [64, n_blocks] int32: row p = raster position p of every
+    block, blocks ordered component-planar (all of comp 0, then 1, ...),
+    mcu-major within a component.  Rationale (PERFORMANCE.md): every op
+    here keeps the long block axis minor (a multiple of 128 in practice),
+    so the VPU runs full-width — the AoS [..., 8, 8] form spent 8/128 of
+    each lane register and measured ~3x slower on the chip.  The inverse
+    zigzag is a STATIC reorder of the 64-plane axis (near-free) instead
+    of a per-element gather.
+    """
+    coeffs = coeffs.astype(jnp.int32)
+    per_mcu = coeffs.reshape(geom.n_mcus, geom.blocks_per_mcu, 64)
+    z2n = jnp.asarray(ZIGZAG_TO_NATURAL)
+    soa = []
+    base = 0
+    for ci, (h, v, _) in enumerate(geom.comps):
+        nb = h * v
+        zp = per_mcu[:, base : base + nb, :].reshape(-1, 64).T  # [64, N_c]
+        deq = zp * quant[ci][:, None]  # dequant in zigzag domain
+        soa.append(jnp.take(deq, z2n, axis=0))
+        base += nb
+    return idct_planes(jnp.concatenate(soa, axis=1))
+
+
+def _plane_from_soa(geom, pix_c: jnp.ndarray, h: int, v: int) -> jnp.ndarray:
+    """[64, n_mcus*h*v] SoA pixels of one component -> raster plane."""
+    grid = pix_c.reshape(8, 8, geom.mcus_y, geom.mcus_x, v, h)
+    return grid.transpose(2, 4, 0, 3, 5, 1).reshape(
+        geom.mcus_y * v * 8, geom.mcus_x * h * 8
+    )
+
+
 def decode_subsampled_planes(
     geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray
 ) -> list[jnp.ndarray]:
@@ -101,27 +137,48 @@ def decode_subsampled_planes(
     integer IDCT + block->raster; no upsampling yet — the stripe decoder
     injects a halo exchange between this stage and `upsample_planes`.
     """
-    coeffs = coeffs.astype(jnp.int32)
-    pattern = jnp.asarray(np.tile(geom.pattern(), geom.n_mcus))
-    block_quant = jnp.take(quant, pattern, axis=0)  # [n_blocks, 64]
-    deq = coeffs * block_quant
-    natural = jnp.take(deq, jnp.asarray(ZIGZAG_TO_NATURAL), axis=1)
-    pixels = idct_blocks(natural.reshape(geom.n_blocks, 8, 8))
-    blocks = pixels.reshape(geom.n_mcus, geom.blocks_per_mcu, 8, 8)
+    pix = _idct_planar(geom, coeffs, quant)
     planes = []
     base = 0
     for h, v, _ in geom.comps:
-        nb = h * v
-        grid = blocks[:, base : base + nb].reshape(
-            geom.mcus_y, geom.mcus_x, v, h, 8, 8
-        )
-        base += nb
-        planes.append(
-            grid.transpose(0, 2, 4, 1, 3, 5).reshape(
-                geom.mcus_y * v * 8, geom.mcus_x * h * 8
-            )
-        )
+        n = geom.n_mcus * h * v
+        planes.append(_plane_from_soa(geom, pix[:, base : base + n], h, v))
+        base += n
     return planes
+
+
+def _decode_rgb_planar_fused(
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-resolution (4:4:4 / grayscale) fast path: color in the SoA
+    block domain, then ONE uint8 raster transpose.
+
+    Color is pointwise, so converting before the block->raster reorder
+    yields identical pixels; the reorder then moves uint8 instead of
+    int32 planes.  Crop-after-color equals crop-before-color for the
+    kept pixels, and `pack_mask` runs on the cropped mask, so riskbits
+    match the plane path bit-for-bit.
+    """
+    pix = _idct_planar(geom, coeffs, quant)  # [64, n_comp * n_mcus]
+    n = geom.n_mcus
+    if len(geom.comps) == 1:
+        y, cb, cr = pix, jnp.zeros_like(pix), jnp.zeros_like(pix)
+    else:
+        y, cb, cr = pix[:, :n], pix[:, n : 2 * n], pix[:, 2 * n :]
+    chans, risky = color_channels(y, cb, cr)
+    rgb = jnp.stack(chans)  # [3, 64, n_mcus]
+    rgb = (
+        rgb.reshape(3, 8, 8, geom.mcus_y, geom.mcus_x)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(3, geom.mcus_y * 8, geom.mcus_x * 8)
+    )
+    risky = (
+        risky.reshape(8, 8, geom.mcus_y, geom.mcus_x)
+        .transpose(2, 0, 3, 1)
+        .reshape(geom.mcus_y * 8, geom.mcus_x * 8)
+    )
+    rgb = rgb[:, : geom.height, : geom.width]
+    return rgb, pack_mask(risky[: geom.height, : geom.width])
 
 
 def upsample_planes(
@@ -139,22 +196,28 @@ def upsample_planes(
 def planes_to_rgb(
     geom: Geometry, planes: list[jnp.ndarray]
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Full-resolution planes -> (rgb uint8, packed riskbits), cropped."""
+    """Full-resolution planes -> (rgb uint8 PLANAR [3, H, W], riskbits).
+
+    Channels stack on the LEADING axis — a trailing length-3 minor dim
+    costs ~40x VPU lane efficiency (PERFORMANCE.md); host boundaries
+    interleave with one cheap np.moveaxis.
+    """
     if len(planes) == 1:
         y = planes[0][: geom.height, : geom.width]
         zeros = jnp.zeros_like(y)
-        rgb, risky = ycbcr_to_rgb(y, zeros, zeros)
+        chans, risky = color_channels(y, zeros, zeros)
     else:
         y, cb, cr = (p[: geom.height, : geom.width] for p in planes)
-        rgb, risky = ycbcr_to_rgb(y, cb, cr)
-    return rgb, pack_mask(risky)
+        chans, risky = color_channels(y, cb, cr)
+    return jnp.stack(chans), pack_mask(risky)
 
 
 def device_decode_fn(
     geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
     fancy: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """The jittable decode body: coefficients -> (rgb uint8, packed riskbits).
+    """The jittable decode body: coefficients -> (rgb uint8 planar
+    [3, H, W], packed riskbits).
 
     coeffs: int32 or int16 [n_blocks, 64], zigzag order, scan order, DPCM
         resolved (int16 is lossless for conformant baseline scans and
@@ -162,6 +225,10 @@ def device_decode_fn(
     quant:  int32 [n_comp, 64], zigzag order.
     fancy:  libjpeg triangle chroma upsampling (subsampled streams only).
     """
+    if geom.max_h == 1 and geom.max_v == 1:
+        # no upsampling needed: color in the block domain, one uint8
+        # raster pass (the reference's 4:4:4-only contract lives here)
+        return _decode_rgb_planar_fused(geom, coeffs, quant)
     planes = decode_subsampled_planes(geom, coeffs, quant)
     return planes_to_rgb(geom, upsample_planes(geom, planes, fancy))
 
@@ -198,7 +265,10 @@ def decode(img: JpegImage, strict: bool = True, fancy: bool = False) -> np.ndarr
     rgb_dev, riskbits = _compiled(geom, fancy)(
         jnp.asarray(coeffs), jnp.asarray(quant)
     )
-    rgb = np.asarray(jax.device_get(rgb_dev)).astype(np.int32)
+    # device output is planar [3, H, W]; interleave at the host boundary
+    rgb = np.ascontiguousarray(
+        np.moveaxis(np.asarray(jax.device_get(rgb_dev)), 0, -1)
+    ).astype(np.int32)
     if strict:
         packed = np.asarray(jax.device_get(riskbits))
         mask = unpack_mask(packed, img.width)

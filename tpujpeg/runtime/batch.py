@@ -451,7 +451,10 @@ class BatchDecoder:
         repaired = 0
         for chunk in chunks:
             rgb, risk, _ = chunk.out
-            rgb_h = np.asarray(jax.device_get(rgb)).astype(np.int32)
+            # device rgb is planar [B, 3, H, W]; interleave on host
+            rgb_h = np.moveaxis(
+                np.asarray(jax.device_get(rgb)), 1, -1
+            ).astype(np.int32)
             risk_h = np.asarray(jax.device_get(risk)) if self.strict else None
             coeffs_h = chunk.coeffs
             for bi, i in enumerate(chunk.indices):
