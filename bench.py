@@ -82,7 +82,7 @@ def _encode(arr: np.ndarray, quality: int, rst_rows: int) -> bytes:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", type=int, default=96)
+    ap.add_argument("--images", type=int, default=384)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--quality", type=int, default=90)
     ap.add_argument("--rst-rows", type=int, default=1,
@@ -91,7 +91,12 @@ def main():
                     choices=["auto", "host", "fsm", "gather", "oracle"],
                     help="fsm uploads only scan bytes — the right default "
                          "behind this rig's ~50 MB/s host-device tunnel")
-    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="chunk size for the device-only headline (wider "
+                         "chunks amortize the scan's serial columns)")
+    ap.add_argument("--chunk-e2e", type=int, default=32,
+                    help="chunk size for the end-to-end engine metric "
+                         "(smaller chunks pipeline better over the tunnel)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--skip-runtime", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -131,7 +136,9 @@ def main():
         chunks = []
         for j in range(0, len(imgs), args.chunk):
             part = imgs[j : j + args.chunk]
-            plan = fsm.build_plan(part)
+            # scan bytes are device-resident in this methodology, so pack
+            # for minimum device time (one group, one scan dispatch)
+            plan = fsm.build_plan(part, split=False)
             quant = np.stack(
                 [
                     np.stack(
@@ -168,9 +175,11 @@ def main():
         device_mbps = compressed / dbest / 1e6
         del chunks
 
-    dec = BatchDecoder(backend=args.backend, chunk_size=args.chunk, strict=False)
+    dec = BatchDecoder(
+        backend=args.backend, chunk_size=args.chunk_e2e, strict=False
+    )
     # Warmup compiles every stage.
-    dec.decode(datas[: args.chunk], fetch=False)
+    dec.decode(datas[: args.chunk_e2e], fetch=False)
 
     if args.profile:
         from tpujpeg.utils.profiling import device_trace

@@ -188,3 +188,12 @@ def test_fsm_grouped_stride_packing():
     assert len(plan.groups) == 2, [g[0].shape for g in plan.groups]
     assert plan.groups[0][0].shape[0] > plan.groups[1][0].shape[0]  # strides
     np.testing.assert_array_equal(fsm.entropy_decode_fsm(imgs), oracle_batch(imgs))
+
+    # split=False packs ONE group at the top stride (minimum device scan
+    # dispatches, for device-resident/fast-link callers) — same bits out
+    plan1 = fsm.build_plan(imgs, split=False)
+    assert len(plan1.groups) == 1, [g[0].shape for g in plan1.groups]
+    per_lane, (mal, env) = fsm.decode_plan(plan1)
+    assert not (np.asarray(mal).any() or np.asarray(env).any())
+    got = fsm.assemble(np.asarray(per_lane), plan1.layout)
+    np.testing.assert_array_equal(got, oracle_batch(imgs))

@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--quality", type=int, default=90)
     ap.add_argument("--rst-rows", type=int, default=1)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--no-split", action="store_true",
+                    help="single-group lane packing (min device time)")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +85,7 @@ def main():
     print(f"{'host: parse+destuff (serial)':<44s} "
           f"{(time.perf_counter() - t0) * 1e3:9.2f} ms")
     t0 = time.perf_counter()
-    plan = fsm.build_plan(imgs)
+    plan = fsm.build_plan(imgs, split=not args.no_split)
     print(f"{'host: fsm.build_plan':<44s} "
           f"{(time.perf_counter() - t0) * 1e3:9.2f} ms")
     geom = Geometry.of(imgs[0])

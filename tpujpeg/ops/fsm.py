@@ -301,8 +301,18 @@ def _pack_group(seg_bytes, nblocks, idxs):
     return np.ascontiguousarray(xs.T), seg_n
 
 
-def build_plan(imgs: list[JpegImage]) -> FsmPlan:
-    """Pack the restart segments of a batch into grouped lane matrices."""
+def build_plan(imgs: list[JpegImage], split: bool = True) -> FsmPlan:
+    """Pack the restart segments of a batch into grouped lane matrices.
+
+    split=True allows the two-stride-class packing below, which minimizes
+    PADDED UPLOAD BYTES (the win behind a slow host->device link).  On the
+    device itself a second group costs a whole extra scan dispatch — the
+    column scan is latency-bound at ~2.3 us/byte-column, so two groups
+    serialize stride_a + stride_b columns where one group scans only
+    max(stride) — so callers whose scan bytes are already resident (the
+    kernel-only benchmark methodology) or whose link is fast pass
+    split=False.
+    """
     tables = build_tables(imgs[0])
     pattern0 = imgs[0].mcu_block_pattern()
     bpm = len(pattern0)
@@ -341,7 +351,7 @@ def build_plan(imgs: list[JpegImage]) -> FsmPlan:
     lens = np.array([b.size for b in seg_bytes], np.int64)
     top_stride = _stride_bucket(int(lens.max()))
     group_idxs: list[list[int]] = [list(range(len(seg_bytes)))]
-    if len(seg_bytes) >= 192:
+    if split and len(seg_bytes) >= 192:
         buckets = np.array([_stride_bucket(int(x)) for x in lens])
         base_cost = len(seg_bytes) * top_stride
         best = (base_cost, None)

@@ -305,7 +305,13 @@ class BatchDecoder:
         from ..ops import fsm
 
         try:
-            plan = fsm.build_plan(chunk.imgs)
+            # split lane packing only pays when the upload rides a slow
+            # link; on a fast link the second scan dispatch costs more
+            # device time than the padding it saves (fsm.build_plan doc)
+            plan = fsm.build_plan(
+                chunk.imgs,
+                split=measured_link_mbps() < _LINK_MBPS_FSM_THRESHOLD,
+            )
         except JpegError:
             return self._process_chunk_spec(chunk)
         per_lane, (err_mal, err_env) = fsm.decode_plan(plan)
