@@ -157,15 +157,22 @@ def main():
         def run_device():
             fences = []
             for uploaded, q_d, plan in chunks:
-                per_lane, _errs = fsm.decode_plan(plan, uploaded=uploaded)
+                per_lane, errs = fsm.decode_plan(plan, uploaded=uploaded)
                 cf = fsm.assemble_batched(
                     per_lane, layout=plan.layout, pad_to=args.chunk
                 ).reshape(args.chunk, geom.n_blocks, 64)
                 rgb, _risk, _m = pix(cf, q_d)
-                fences.append(rgb[0, 0, 0, 0].astype(jnp.int32))
+                # fold the FSM error bits into the fence: a nonzero high
+                # bit in the warm-up sum means the K=2 envelope (or the
+                # stream) failed and the timing would be meaningless
+                bad = (jnp.any(errs[0]) | jnp.any(errs[1])).astype(jnp.int32)
+                fences.append(
+                    rgb[0, 0, 0, 0].astype(jnp.int32) + (bad << 24)
+                )
             return jnp.stack(fences).sum()
 
-        np_.asarray(jax.device_get(run_device()))  # warm + compile
+        warm = int(np_.asarray(jax.device_get(run_device())))  # warm + compile
+        assert warm < (1 << 23), "FSM error lanes on bench data"
         dbest = None
         for _ in range(args.iters):
             t0 = time.perf_counter()

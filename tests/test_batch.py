@@ -134,3 +134,19 @@ def test_batch_fsm_malformed_falls_back_to_host_and_counts():
     assert dec.stats.fsm_malformed_fallbacks >= 1, dec.stats.as_dict()
     assert got[0] is None
     assert 0 in dec.stats.failures
+
+
+def test_batch_fsm_k_retry(monkeypatch):
+    # Force the fast symbol-step count below what noisy content needs:
+    # the engine must retry the chunk ON DEVICE at STEPS_SAFE (counted in
+    # stats), not fall back to the host, and stay bit-exact.
+    from tpujpeg.ops import fsm
+
+    datas = [make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=s) for s in (1, 2)]
+    monkeypatch.setattr(fsm, "STEPS_PER_BYTE", 1)
+    dec = BatchDecoder(backend="fsm", chunk_size=2)
+    got = dec.decode(datas)
+    for g, e in zip(got, expected(datas)):
+        np.testing.assert_array_equal(g, e)
+    assert dec.stats.fsm_k_retries == 1
+    assert dec.stats.fsm_envelope_fallbacks == 0

@@ -67,7 +67,13 @@ from ..io.parser import JpegImage
 
 MAX_BLOCKS_PER_LANE = 8191  # blk field is 13 bits in the packed event
 MAX_PIECES = 512
-STEPS_PER_BYTE = 3  # symbol steps per scan column (see envelope note above)
+STEPS_PER_BYTE = 2   # production symbol steps per scan column: measured
+# sufficient for q90 noisy AND flat 4:4:4 content (0 envelope lanes, output
+# == K=3 bit-for-bit) at 2/3 the scan ops and butterfly rows of K=3.
+# Streams denser than 2 symbols/byte SUSTAINED (>24 bits of decode lag)
+# latch err_env, and callers retry at the safe step count below.
+STEPS_SAFE = 3       # retry step count: the provable envelope (compound
+# EOB/DC0 steps keep conformant streams within 3 symbols/byte)
 INVALID_LEN = 31    # code length marking the invalid top gap of a table
 
 
@@ -595,8 +601,14 @@ def _fsm_scan(
     )
     cols = jnp.arange(xs.shape[0], dtype=jnp.int32)
     st, events = jax.lax.scan(body, init, (cols, xs))
-    err_mal = st[7] | ~st[6]  # undone lane at end of data = truncated
-    err_env = st[8]
+    # A lane undone at end of data is either truncated (it consumed its
+    # bits and needs more) or STEP-STARVED (whole bytes still buffered —
+    # the K symbol-steps/byte budget ran out, not the data).  The latter
+    # is an envelope condition: callers retry at STEPS_SAFE.
+    undone = ~st[6]
+    starved = undone & (st[1] >= 8)
+    err_mal = st[7] | (undone & ~starved)
+    err_env = st[8] | starved
     # NB: the full carry is returned (and surfaced through the jit below)
     # on purpose: XLA:CPU (observed on jax 0.9.0) miscompiles scans whose
     # carry outputs are dead — execution spins forever.  Keeping every
@@ -844,18 +856,20 @@ def _gather_rows(stacked, perm):
     return jnp.take(stacked, perm, axis=0)
 
 
-def decode_plan(plan: FsmPlan, uploaded=None):
+def decode_plan(plan: FsmPlan, uploaded=None, steps: int = STEPS_PER_BYTE):
     """Run the FSM decoder -> (per_lane [n_segs, max_blk, 64], err masks).
 
     Rows are in original lane (scan) order; or-ing the masks gives the
     per-lane failure flag.  Each stride group runs as its own scan; the
     group-concatenated output is un-shuffled by one big-row gather
-    (`plan.perm`), which measures at the dispatch floor."""
+    (`plan.perm`), which measures at the dispatch floor.  steps is the
+    symbol-steps-per-byte envelope: callers retry env-flagged work at
+    STEPS_SAFE."""
     groups, perm = uploaded if uploaded is not None else upload_plan(plan)
     pls, mals, envs = [], [], []
     for xs_d, sn_d in groups:
         per_lane, (err_mal, err_env), _ = _decode_jit(
-            xs_d, sn_d, tables=plan.tables, max_blk=plan.max_blk
+            xs_d, sn_d, tables=plan.tables, max_blk=plan.max_blk, steps=steps
         )
         pls.append(per_lane)
         mals.append(err_mal)
@@ -880,16 +894,20 @@ def entropy_decode_fsm(imgs: list[JpegImage]) -> np.ndarray:
     (callers fall back to the host runtime).
     """
     plan = build_plan(imgs)
-    per_lane, (err_mal, err_env) = decode_plan(plan)
-    mal, env = (bool(jax.device_get(jnp.any(e))) for e in (err_mal, err_env))
-    if mal:
-        raise JpegError("fsm decode failed (malformed or truncated scan)")
-    if env:
-        raise JpegError(
-            "fsm: stream outside the decode envelope "
-            f"(> {STEPS_PER_BYTE} symbols/byte sustained)"
+    uploaded = upload_plan(plan)
+    for steps in (STEPS_PER_BYTE, STEPS_SAFE):
+        per_lane, (err_mal, err_env) = decode_plan(plan, uploaded, steps=steps)
+        mal, env = (
+            bool(jax.device_get(jnp.any(e))) for e in (err_mal, err_env)
         )
-    return assemble(np.asarray(jax.device_get(per_lane)), plan.layout)
+        if mal:
+            raise JpegError("fsm decode failed (malformed or truncated scan)")
+        if not env:
+            return assemble(np.asarray(jax.device_get(per_lane)), plan.layout)
+    raise JpegError(
+        "fsm: stream outside the decode envelope "
+        f"(> {STEPS_SAFE} symbols/byte sustained)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -183,7 +183,12 @@ def _spread_kernel(cp_ref, out_ref):
 # stage means each window's rows are well-defined mid-network.
 # HBM round-trips: ~26 XLA passes -> ~7 XLA passes + 2 Pallas kernels.
 
-_W = 1024  # window rows for the fine (VMEM-resident) stages
+# Window rows for the fine (VMEM-resident) stages.  Bigger windows move
+# coarse (full-HBM-pass) stages into VMEM at the cost of VMEM pressure;
+# env-tunable for A/B on real chips (jit caches key on traced shapes, so
+# changing this mid-process after tracing would be ignored — set it before
+# the first decode).
+_W = int(os.environ.get("TPUJPEG_PALLAS_W", "1024"))
 
 
 def _scalar_mask(cond_i32):

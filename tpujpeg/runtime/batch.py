@@ -90,6 +90,7 @@ class BatchStats:
     failures: dict = field(default_factory=dict)  # index -> error message
     # FSM fallback accounting (VERDICT r1: envelope cliffs must be counted)
     fsm_envelope_fallbacks: int = 0   # chunks redone on host: outside envelope
+    fsm_k_retries: int = 0            # chunks re-decoded at STEPS_SAFE
     fsm_malformed_fallbacks: int = 0  # chunks redone on host: bad stream
 
     def as_dict(self) -> dict:
@@ -125,6 +126,8 @@ class _Chunk:
     imgs: list[JpegImage]
     coeffs: np.ndarray | None = None   # [B, n_blocks, 64] int32 (host backend)
     coeffs_dev: object = None          # device coeffs (fsm backend)
+    plan: object = None                # FsmPlan (fsm backend, for K retry)
+    steps: int = 0                     # FSM symbol-steps/byte used
     err_mal: object = None             # device malformed mask (fsm backend)
     err_env: object = None             # device envelope mask (fsm backend)
     out: object = None                 # device (rgb, risk, metrics)
@@ -295,7 +298,7 @@ class BatchDecoder:
         chunk.backend = "fsm-spec"
         return True
 
-    def _process_chunk_fsm(self, chunk: _Chunk) -> bool:
+    def _process_chunk_fsm(self, chunk: _Chunk, steps: int | None = None) -> bool:
         """Fully device-resident: scan bytes up, FSM decode, device-side
         assemble, pixel program.  Nothing but the scan crosses the host
         boundary.  Streams without restart markers take the speculative
@@ -304,17 +307,22 @@ class BatchDecoder:
         tables, oversized segments) so the caller can fall back."""
         from ..ops import fsm
 
-        try:
-            # split lane packing only pays when the upload rides a slow
-            # link; on a fast link the second scan dispatch costs more
-            # device time than the padding it saves (fsm.build_plan doc)
-            plan = fsm.build_plan(
-                chunk.imgs,
-                split=measured_link_mbps() < _LINK_MBPS_FSM_THRESHOLD,
-            )
-        except JpegError:
-            return self._process_chunk_spec(chunk)
-        per_lane, (err_mal, err_env) = fsm.decode_plan(plan)
+        if chunk.plan is not None:
+            plan = chunk.plan  # K-retry: reuse the packed plan
+        else:
+            try:
+                # split lane packing only pays when the upload rides a slow
+                # link; on a fast link the second scan dispatch costs more
+                # device time than the padding it saves (fsm.build_plan doc)
+                plan = fsm.build_plan(
+                    chunk.imgs,
+                    split=measured_link_mbps() < _LINK_MBPS_FSM_THRESHOLD,
+                )
+            except JpegError:
+                return self._process_chunk_spec(chunk)
+        chunk.plan = plan
+        chunk.steps = steps if steps is not None else fsm.STEPS_PER_BYTE
+        per_lane, (err_mal, err_env) = fsm.decode_plan(plan, steps=chunk.steps)
         B = self._pad_batch()
         coeffs = fsm.assemble_batched(per_lane, layout=plan.layout, pad_to=B)
         coeffs = coeffs.reshape(B, chunk.geom.n_blocks, 64)
@@ -414,12 +422,22 @@ class BatchDecoder:
         fetch: bool,
         isolate: bool,
     ) -> list[np.ndarray] | None:
-        n_env = n_mal = 0
+        n_env = n_mal = n_k = 0
         t0 = time.perf_counter()
         for chunk in chunks:
             if chunk.fence is not None:
+                from ..ops import fsm as _fsm
+
                 flags = np.asarray(jax.device_get(chunk.fence))
                 mal, env = bool(flags[1]), bool(flags[2])
+                if env and not mal and 0 < chunk.steps < _fsm.STEPS_SAFE:
+                    # denser than the fast symbol-step envelope: retry the
+                    # whole chunk ON DEVICE at the safe step count before
+                    # falling back to the host
+                    n_k += 1
+                    self._process_chunk_fsm(chunk, steps=_fsm.STEPS_SAFE)
+                    flags = np.asarray(jax.device_get(chunk.fence))
+                    mal, env = bool(flags[1]), bool(flags[2])
                 if mal or env:
                     # bad stream or outside-envelope stream on the device
                     # path: redo on the host decoder, which raises (or, in
@@ -445,6 +463,7 @@ class BatchDecoder:
             chunks=len(chunks),
             fsm_envelope_fallbacks=n_env,
             fsm_malformed_fallbacks=n_mal,
+            fsm_k_retries=n_k,
         )
         for chunk in chunks:
             if chunk.failed:
