@@ -186,7 +186,7 @@ def test_fsm_grouped_stride_packing():
     imgs = noisy + flat  # 6 x 48 = 288 segments, two length classes
     plan = fsm.build_plan(imgs)
     assert len(plan.groups) == 2, [g[0].shape for g in plan.groups]
-    assert plan.groups[0][0].shape[0] > plan.groups[1][0].shape[0]  # strides
+    assert plan.groups[0][0].shape[1] > plan.groups[1][0].shape[1]  # strides
     np.testing.assert_array_equal(fsm.entropy_decode_fsm(imgs), oracle_batch(imgs))
 
     # split=False packs ONE group at the top stride (minimum device scan

@@ -97,7 +97,7 @@ def main():
 
     xs = jnp.asarray(plan.groups[0][0])
     snb = jnp.asarray(plan.groups[0][1])
-    L = xs.shape[1]
+    L = xs.shape[0]
 
     # -- dispatch floor: trivial program round trip
     trivial = jax.jit(lambda a: a.sum())
@@ -106,16 +106,17 @@ def main():
     # -- FSM scan only (events + state, no butterflies)
     @functools.partial(jax.jit, static_argnames=("tables",))
     def scan_only(xs, snb, *, tables):
-        events, (em, ee), st = fsm._fsm_scan(xs, snb, tables)
+        # xs is row-major [L, stride]; the scan wants byte columns
+        events, (em, ee), st = fsm._fsm_scan(xs.T, snb, tables)
         return events[-1, 0], em, st[4]
 
     timed("fsm scan only", functools.partial(scan_only, tables=plan.tables),
           xs, snb, iters=args.iters)
 
     # -- scan with an 8x narrower lane matrix (latency vs throughput probe)
-    xs8 = xs[:, : max(128, L // 8)]
+    xs8 = xs[: max(128, L // 8)]
     snb8 = snb[: max(128, L // 8)]
-    timed(f"fsm scan only (lanes={xs8.shape[1]})",
+    timed(f"fsm scan only (lanes={xs8.shape[0]})",
           functools.partial(scan_only, tables=plan.tables),
           xs8, snb8, iters=args.iters)
 

@@ -252,7 +252,7 @@ class FsmPlan:
 
     Lanes are grouped by segment length (up to two stride classes): one
     outlier segment otherwise forces every lane's scan and upload to its
-    stride.  `groups` holds per-group (xs uint8 [stride_g, Lg], seg_n
+    stride.  `groups` holds per-group (xs uint8 [Lg, stride_g], seg_n
     int32 [Lg]); `perm[i]` is the row of original lane i in the
     group-concatenated per-lane output (the un-shuffle is one big-row
     gather, measured at the dispatch floor — PERFORMANCE.md).
@@ -304,7 +304,10 @@ def _pack_group(seg_bytes, nblocks, idxs):
         b = seg_bytes[i]
         xs[row, : b.size] = b
         seg_n[row] = nblocks[i]
-    return np.ascontiguousarray(xs.T), seg_n
+    # ROW-major [Lg, stride]: the device transposes to scan layout for
+    # ~free; transposing here cost ~160 ms of host time per 64-image
+    # chunk (60% of build_plan).
+    return xs, seg_n
 
 
 def build_plan(imgs: list[JpegImage], split: bool = True) -> FsmPlan:
@@ -332,22 +335,23 @@ def build_plan(imgs: list[JpegImage], split: bool = True) -> FsmPlan:
             raise JpegError("fsm: batch mixes geometries or Huffman tables")
         offs = img.segment_offsets
         n_seg = offs.size
-        ri = img.restart_interval or img.n_mcus
-        need = -(-img.n_mcus // ri)
+        n_mcus = img.n_mcus
+        ri = img.restart_interval or n_mcus
+        need = -(-n_mcus // ri)
         if need > n_seg:
             raise JpegError("fsm: missing restart segments")
         ends = np.append(offs[1:need], img.scan_data.size)
         first = len(seg_bytes)
+        scan = img.scan_data
         for s in range(need):
-            seg_bytes.append(img.scan_data[int(offs[s]) : int(ends[s])])
-            mcus = min(ri, img.n_mcus - s * ri)
-            nblocks.append(mcus * bpm)
+            seg_bytes.append(scan[int(offs[s]) : int(ends[s])])
+            nblocks.append(min(ri, n_mcus - s * ri) * bpm)
         rib = ri * bpm
-        last = img.n_mcus * bpm - (need - 1) * rib
+        last = n_mcus * bpm - (need - 1) * rib
         if max(rib, last) > MAX_BLOCKS_PER_LANE:
             raise JpegError("fsm: restart interval too long for packed events")
         layout.append((first, need, rib, last))
-        n_blocks_total += img.n_mcus * bpm
+        n_blocks_total += n_mcus * bpm
 
     # Two stride classes: pick the split threshold that minimizes total
     # padded bytes (one outlier segment otherwise forces every lane's
@@ -774,7 +778,7 @@ def _decode_jit(
     the per-lane cumsum).
     """
     events, (err_mal, err_env), scan_state = _fsm_scan(
-        xs, seg_n_blocks, tables,
+        xs.T, seg_n_blocks, tables,  # [L, stride] -> scan layout, on device
         start_bits=start_bits, start_bim=start_bim, steps=steps,
     )
     stride, S, L = events.shape
@@ -947,7 +951,7 @@ class SpecPlan:
 def _count_jit(xs, chunk_bits, start_bits, start_bim, *, tables, blk_cap):
     caps = jnp.full(chunk_bits.shape, blk_cap, jnp.int32)
     events, (err_mal, err_env), st = _fsm_scan(
-        xs, caps, tables,
+        xs.T, caps, tables,  # [L, stride] -> scan layout, on device
         start_bits=start_bits, start_bim=start_bim, chunk_bits=chunk_bits,
     )
     # end_bits/end_bim/blk: st[9], st[10], st[4].  Full state surfaced to
@@ -972,7 +976,7 @@ def build_spec_plan(img: JpegImage, chunk_bytes: int = 2048) -> SpecPlan:
     while cap < min(4 * (n_blocks // S + 1) + 64, MAX_BLOCKS_PER_LANE):
         cap *= 2
     return SpecPlan(
-        xs=np.ascontiguousarray(xs.T),
+        xs=xs,  # row-major [L, stride]; jits transpose on device
         chunk_bits=chunk_bits,
         blk_cap=cap,
         tables=tables,
