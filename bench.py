@@ -126,13 +126,11 @@ def main():
         import numpy as np_
 
         from tpujpeg.ops import fsm
-        from tpujpeg.parallel import sharding
+        from tpujpeg.runtime import fused
         from tpujpeg.pipeline import Geometry
 
         imgs = [parse(d) for d in datas]
         geom = Geometry.of(imgs[0])
-        mesh = sharding.make_mesh(n_stripe=1)
-        pix = sharding.compiled_batch_decoder(geom, mesh)
         chunks = []
         for j in range(0, len(imgs), args.chunk):
             part = imgs[j : j + args.chunk]
@@ -150,22 +148,30 @@ def main():
             if len(part) < args.chunk:
                 pad = np.zeros((args.chunk - len(part),) + quant.shape[1:], np.int32)
                 quant = np.concatenate([quant, pad])
+            xs, sn = plan.groups[0]
+            uploaded = (
+                jax.device_put(jnp.asarray(xs)),
+                jax.device_put(jnp.asarray(sn)),
+            )
             chunks.append(
-                (fsm.upload_plan(plan), jax.device_put(jnp.asarray(quant)), plan)
+                (uploaded, jax.device_put(jnp.asarray(quant)), plan)
             )
 
         def run_device():
             fences = []
             for uploaded, q_d, plan in chunks:
-                per_lane, errs = fsm.decode_plan(plan, uploaded=uploaded)
-                cf = fsm.assemble_batched(
-                    per_lane, layout=plan.layout, pad_to=args.chunk
-                ).reshape(args.chunk, geom.n_blocks, 64)
-                rgb, _risk, _m = pix(cf, q_d)
+                # ONE program per chunk (runtime/fused.py): FSM + butterfly
+                # materialization + assemble + pixel stages fused
+                rgb, _risk, _c, _dc, err_mal, err_env, _st = (
+                    fused.decode_chunk_fused(
+                        plan, q_d, geom, args.chunk, uploaded=uploaded,
+                        want_coeffs=False,
+                    )
+                )
                 # fold the FSM error bits into the fence: a nonzero high
                 # bit in the warm-up sum means the K=2 envelope (or the
                 # stream) failed and the timing would be meaningless
-                bad = (jnp.any(errs[0]) | jnp.any(errs[1])).astype(jnp.int32)
+                bad = (jnp.any(err_mal) | jnp.any(err_env)).astype(jnp.int32)
                 fences.append(
                     rgb[0, 0, 0, 0].astype(jnp.int32) + (bad << 24)
                 )

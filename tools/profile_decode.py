@@ -163,11 +163,25 @@ def main():
     timed("chain: decode_plan+asm+pixels", chain, qd,
           iters=args.iters, fetch=lambda o: o[0])
 
+    # -- fused single-program chunk (runtime/fused.py): the engine's
+    # production shape on a 1-device mesh with single-group plans
+    if len(plan.groups) == 1:
+        from tpujpeg.runtime import fused
+
+        def fchain(qd):
+            return fused.decode_chunk_fused(
+                plan, qd, geom, B, uploaded=(xs, snb), want_coeffs=False
+            )
+
+        timed("fused single-program chunk", fchain, qd,
+              iters=args.iters, fetch=lambda o: o[0])
+
     # -- marginal cost of extra chunks in flight: dispatch N independent
     # chains back-to-back, fence once.  If the ~30 ms dispatch floor
     # amortizes, marginal cost per chunk ≈ real compute only.
+    use_fused = len(plan.groups) == 1
     def chain_n(n):
-        outs = [chain(qd) for _ in range(n)]
+        outs = [(fchain if use_fused else chain)(qd) for _ in range(n)]
         return outs[-1]
 
     t1 = timed("chain x1 (fence once)", lambda: chain_n(1),

@@ -720,8 +720,8 @@ def _spread(valid, payload, target, M):
 # ---------------------------------------------------------------------------
 
 
-def _resolve_dc(per_lane: jnp.ndarray, tables: FsmTables, max_blk: int):
-    """Accumulate per-component DC differences down each lane.
+def _dc_cumsum(dc: jnp.ndarray, tables: FsmTables, max_blk: int):
+    """Per-component DC-difference cumsum down each lane: [L, max_blk].
 
     Every lane is a restart segment, so its DC chains start at 0 — the
     per-lane cumsum IS the DPCM resolution (reference parser.cu:198-206;
@@ -729,11 +729,10 @@ def _resolve_dc(per_lane: jnp.ndarray, tables: FsmTables, max_blk: int):
     zero emitted no event, so their slot holds 0 and the cumsum carries
     the predictor through — which is why the FSM never emits size-0 DCs.
     """
-    L = per_lane.shape[0]
+    L = dc.shape[0]
     bpm = len(tables.comp)
     n_mcu = -(-max_blk // bpm)
     pad = n_mcu * bpm - max_blk
-    dc = per_lane[:, :, 0]
     if pad:
         dc = jnp.concatenate([dc, jnp.zeros((L, pad), dc.dtype)], axis=1)
     dc3 = dc.reshape(L, n_mcu, bpm)
@@ -745,8 +744,39 @@ def _resolve_dc(per_lane: jnp.ndarray, tables: FsmTables, max_blk: int):
         acc = jnp.cumsum(sub.reshape(L, n_mcu * nb), axis=1)
         cols.append(acc.reshape(L, n_mcu, nb))
         base += nb
-    dc_new = jnp.concatenate(cols, axis=2).reshape(L, n_mcu * bpm)[:, :max_blk]
+    return jnp.concatenate(cols, axis=2).reshape(L, n_mcu * bpm)[:, :max_blk]
+
+
+def _resolve_dc(per_lane: jnp.ndarray, tables: FsmTables, max_blk: int):
+    """Substitute resolved DC predictors into the dense per-lane tensor."""
+    dc_new = _dc_cumsum(per_lane[:, :, 0], tables, max_blk)
     return jnp.concatenate([dc_new[:, :, None], per_lane[:, :, 1:]], axis=2)
+
+
+def _materialize_events(ev: jnp.ndarray, M: int) -> jnp.ndarray:
+    """Packed events [N, L] -> dense coefficient rows [M, L].
+
+    Dispatches to the fastest proven materialization for the platform and
+    shape: windowed Pallas butterflies on TPU (materialize.py v3, fine
+    routing stages VMEM-resident), the v1 full-height experiment under
+    TPUJPEG_PALLAS=1, or the plain XLA butterfly networks.  Returns int16
+    (v3) or int32 (XLA) — callers cast as needed; values fit int16 by
+    construction (|val| <= 2047).
+    """
+    from . import materialize
+
+    N, L = ev.shape
+    if materialize._use_pallas_v3(N, M, L):
+        return materialize.place_events_v3(ev, M=M)
+    if materialize._use_pallas(N, M, L):
+        return materialize.place_events_pallas(ev, M=M)
+    valid = ev >= 0
+    cv, cp = _compact(valid, ev)
+    blk = (cp >> 18) & 0x1FFF
+    z = (cp >> 12) & 63
+    val = (cp & 0xFFF) - 2048
+    target = blk * 64 + z
+    return _spread(cv, val, target, M)   # [M, L]
 
 
 # ---------------------------------------------------------------------------
@@ -784,23 +814,7 @@ def _decode_jit(
     stride, S, L = events.shape
     ev = events.reshape(stride * S, L)
     M = max_blk * 64
-    from . import materialize
-
-    if materialize._use_pallas_v3(ev.shape[0], M, L):
-        # windowed Pallas butterflies (materialize.py v3): fine routing
-        # stages VMEM-resident, ~26 HBM round-trips -> ~7 + 2 kernels
-        coeffs_t = materialize.place_events_v3(ev, M=M).astype(jnp.int32)
-    elif materialize._use_pallas(ev.shape[0], M, L):
-        # v1 experiment (TPUJPEG_PALLAS=1): kept for comparison
-        coeffs_t = materialize.place_events_pallas(ev, M=M).astype(jnp.int32)
-    else:
-        valid = ev >= 0
-        cv, cp = _compact(valid, ev)
-        blk = (cp >> 18) & 0x1FFF
-        z = (cp >> 12) & 63
-        val = (cp & 0xFFF) - 2048
-        target = blk * 64 + z
-        coeffs_t = _spread(cv, val, target, M)   # [M, L]
+    coeffs_t = _materialize_events(ev, M).astype(jnp.int32)
     per_lane = coeffs_t.T.reshape(L, max_blk, 64)
     if not dc_diff:
         per_lane = _resolve_dc(per_lane, tables, max_blk)

@@ -93,7 +93,8 @@ class Geometry(tuple):
 
 
 def _idct_planar(
-    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
+    dc: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """dequant + inverse zigzag + IDCT in coefficient-major (SoA) layout.
 
@@ -105,9 +106,19 @@ def _idct_planar(
     each lane register and measured ~3x slower on the chip.  The inverse
     zigzag is a STATIC reorder of the 64-plane axis (near-free) instead
     of a per-element gather.
+
+    dc (optional): int32 [n_blocks] of RESOLVED DC coefficients that
+    override coeffs[:, 0].  The fused FSM chunk program leaves DPCM
+    differences in the dense tensor and resolves them in a cheap [L, blk]
+    cumsum; substituting the resolved plane here avoids re-writing the
+    whole coefficient tensor just to update 1/64th of it.
     """
     coeffs = coeffs.astype(jnp.int32)
     per_mcu = coeffs.reshape(geom.n_mcus, geom.blocks_per_mcu, 64)
+    dc_mcu = (
+        None if dc is None
+        else dc.reshape(geom.n_mcus, geom.blocks_per_mcu)
+    )
     z2n = jnp.asarray(ZIGZAG_TO_NATURAL)
     soa = []
     base = 0
@@ -115,6 +126,11 @@ def _idct_planar(
         nb = h * v
         zp = per_mcu[:, base : base + nb, :].reshape(-1, 64).T  # [64, N_c]
         deq = zp * quant[ci][:, None]  # dequant in zigzag domain
+        if dc_mcu is not None:
+            dcc = dc_mcu[:, base : base + nb].reshape(-1)
+            deq = jnp.concatenate(
+                [(dcc * quant[ci, 0])[None, :], deq[1:]], axis=0
+            )
         soa.append(jnp.take(deq, z2n, axis=0))
         base += nb
     return idct_planes(jnp.concatenate(soa, axis=1))
@@ -129,7 +145,8 @@ def _plane_from_soa(geom, pix_c: jnp.ndarray, h: int, v: int) -> jnp.ndarray:
 
 
 def decode_subsampled_planes(
-    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
+    dc: jnp.ndarray | None = None,
 ) -> list[jnp.ndarray]:
     """Coefficients -> per-component CENTERED planes at native resolution.
 
@@ -137,7 +154,7 @@ def decode_subsampled_planes(
     integer IDCT + block->raster; no upsampling yet — the stripe decoder
     injects a halo exchange between this stage and `upsample_planes`.
     """
-    pix = _idct_planar(geom, coeffs, quant)
+    pix = _idct_planar(geom, coeffs, quant, dc)
     planes = []
     base = 0
     for h, v, _ in geom.comps:
@@ -148,7 +165,8 @@ def decode_subsampled_planes(
 
 
 def _decode_rgb_planar_fused(
-    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
+    dc: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full-resolution (4:4:4 / grayscale) fast path: color in the SoA
     block domain, then ONE uint8 raster transpose.
@@ -159,7 +177,7 @@ def _decode_rgb_planar_fused(
     kept pixels, and `pack_mask` runs on the cropped mask, so riskbits
     match the plane path bit-for-bit.
     """
-    pix = _idct_planar(geom, coeffs, quant)  # [64, n_comp * n_mcus]
+    pix = _idct_planar(geom, coeffs, quant, dc)  # [64, n_comp * n_mcus]
     n = geom.n_mcus
     if len(geom.comps) == 1:
         y, cb, cr = pix, jnp.zeros_like(pix), jnp.zeros_like(pix)
@@ -214,7 +232,7 @@ def planes_to_rgb(
 
 def device_decode_fn(
     geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
-    fancy: bool = False,
+    fancy: bool = False, dc: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The jittable decode body: coefficients -> (rgb uint8 planar
     [3, H, W], packed riskbits).
@@ -224,12 +242,14 @@ def device_decode_fn(
         halves the host->device transfer; math still runs in int32).
     quant:  int32 [n_comp, 64], zigzag order.
     fancy:  libjpeg triangle chroma upsampling (subsampled streams only).
+    dc:     optional int32 [n_blocks] resolved-DC override (see
+        _idct_planar; used by the fused FSM chunk program).
     """
     if geom.max_h == 1 and geom.max_v == 1:
         # no upsampling needed: color in the block domain, one uint8
         # raster pass (the reference's 4:4:4-only contract lives here)
-        return _decode_rgb_planar_fused(geom, coeffs, quant)
-    planes = decode_subsampled_planes(geom, coeffs, quant)
+        return _decode_rgb_planar_fused(geom, coeffs, quant, dc)
+    planes = decode_subsampled_planes(geom, coeffs, quant, dc)
     return planes_to_rgb(geom, upsample_planes(geom, planes, fancy))
 
 

@@ -126,6 +126,8 @@ class _Chunk:
     imgs: list[JpegImage]
     coeffs: np.ndarray | None = None   # [B, n_blocks, 64] int32 (host backend)
     coeffs_dev: object = None          # device coeffs (fsm backend)
+    dc_dev: object = None              # resolved DC [B, n_blocks] (fused fsm)
+    uploaded: object = None            # staged device scan bytes (K retry)
     plan: object = None                # FsmPlan (fsm backend, for K retry)
     steps: int = 0                     # FSM symbol-steps/byte used
     err_mal: object = None             # device malformed mask (fsm backend)
@@ -322,8 +324,38 @@ class BatchDecoder:
                 return self._process_chunk_spec(chunk)
         chunk.plan = plan
         chunk.steps = steps if steps is not None else fsm.STEPS_PER_BYTE
-        per_lane, (err_mal, err_env) = fsm.decode_plan(plan, steps=chunk.steps)
         B = self._pad_batch()
+        if len(plan.groups) == 1 and self.mesh.devices.size == 1:
+            # single chip + single stride group: the whole chunk compiles
+            # into ONE program (runtime/fused.py) — fewer dispatches, the
+            # dense tensor stays int16, DC rides a 1/64th side channel
+            from . import fused
+
+            if chunk.uploaded is None:
+                xs, sn = plan.groups[0]
+                chunk.uploaded = (
+                    jax.device_put(jnp.asarray(xs)),
+                    jax.device_put(jnp.asarray(sn)),
+                )
+            rgb, risk, coeffs, dc, err_mal, err_env, _ = (
+                fused.decode_chunk_fused(
+                    plan, jnp.asarray(self._quant_block(chunk, B)),
+                    chunk.geom, B, self.fancy, chunk.steps,
+                    uploaded=chunk.uploaded,
+                    # coeffs feed strict repair only; skip their HBM
+                    # writes when the caller opted out of exactness
+                    want_coeffs=self.strict,
+                )
+            )
+            chunk.out = (rgb, risk, None)
+            chunk.coeffs_dev = coeffs
+            chunk.dc_dev = dc
+            chunk.err_mal = err_mal
+            chunk.err_env = err_env
+            chunk.fence = _pack_fence(rgb, err_mal, err_env)
+            chunk.backend = "fsm"
+            return True
+        per_lane, (err_mal, err_env) = fsm.decode_plan(plan, steps=chunk.steps)
         coeffs = fsm.assemble_batched(per_lane, layout=plan.layout, pad_to=B)
         coeffs = coeffs.reshape(B, chunk.geom.n_blocks, 64)
         fn = sharding.compiled_batch_decoder(chunk.geom, self.mesh, self.fancy)
@@ -491,7 +523,15 @@ class BatchDecoder:
                     mask = unpack_mask(risk_h[bi], img.width)
                     if mask.any():
                         if coeffs_h is None:  # fsm path: fetch lazily
-                            coeffs_h = np.asarray(jax.device_get(chunk.coeffs_dev))
+                            coeffs_h = np.asarray(
+                                jax.device_get(chunk.coeffs_dev)
+                            ).astype(np.int32)
+                            if chunk.dc_dev is not None:
+                                # fused path: dense DC rows are raw DPCM
+                                # diffs; the resolved plane rides apart
+                                coeffs_h[:, :, 0] = np.asarray(
+                                    jax.device_get(chunk.dc_dev)
+                                )
                         _repair(img, coeffs_h[bi], out, mask, fancy=self.fancy)
                         repaired += int(mask.sum())
                 results[i] = out.astype(np.uint8)
