@@ -131,6 +131,13 @@ def main():
 
         imgs = [parse(d) for d in datas]
         geom = Geometry.of(imgs[0])
+        # Stride-sorted chunking (mirrors BatchDecoder._make_chunks): the
+        # scan serializes one column per byte of the longest segment in a
+        # chunk and the butterfly matrices scale with that stride, so
+        # grouping similar-length images tightens every chunk but the last
+        from tpujpeg.runtime.batch import _stride_key
+
+        imgs.sort(key=_stride_key)
         chunks = []
         for j in range(0, len(imgs), args.chunk):
             part = imgs[j : j + args.chunk]
