@@ -143,7 +143,7 @@ def test_batch_fsm_k_retry(monkeypatch):
     from tpujpeg.ops import fsm
 
     datas = [make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=s) for s in (1, 2)]
-    monkeypatch.setattr(fsm, "STEPS_PER_BYTE", 1)
+    monkeypatch.setattr(fsm, "STEPS_PRODUCTION", 1)
     dec = BatchDecoder(backend="fsm", chunk_size=2)
     got = dec.decode(datas)
     for g, e in zip(got, expected(datas)):

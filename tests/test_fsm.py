@@ -194,6 +194,10 @@ def test_fsm_grouped_stride_packing():
     plan1 = fsm.build_plan(imgs, split=False)
     assert len(plan1.groups) == 1, [g[0].shape for g in plan1.groups]
     per_lane, (mal, env) = fsm.decode_plan(plan1)
+    if np.asarray(env).any():
+        # dense lanes outside the fast production envelope: callers retry
+        # at STEPS_SAFE (the engine does this on device; mirror it here)
+        per_lane, (mal, env) = fsm.decode_plan(plan1, steps=fsm.STEPS_SAFE)
     assert not (np.asarray(mal).any() or np.asarray(env).any())
     got = fsm.assemble(np.asarray(per_lane), plan1.layout)
     np.testing.assert_array_equal(got, oracle_batch(imgs))

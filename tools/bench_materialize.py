@@ -67,7 +67,7 @@ def main():
 
     from tpujpeg.ops import fsm, materialize
 
-    L, K = args.lanes, fsm.STEPS_PER_BYTE
+    L, K = args.lanes, fsm._steps_spec(fsm.STEPS_PRODUCTION)[1]
     N = args.stride * K
     M = args.max_blk * 64
     print(f"platform={jax.devices()[0].platform} N={N} L={L} M={M} "

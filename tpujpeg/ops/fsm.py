@@ -67,13 +67,46 @@ from ..io.parser import JpegImage
 
 MAX_BLOCKS_PER_LANE = 8191  # blk field is 13 bits in the packed event
 MAX_PIECES = 512
-STEPS_PER_BYTE = 2   # production symbol steps per scan column: measured
-# sufficient for q90 noisy AND flat 4:4:4 content (0 envelope lanes, output
-# == K=3 bit-for-bit) at 2/3 the scan ops and butterfly rows of K=3.
-# Streams denser than 2 symbols/byte SUSTAINED (>24 bits of decode lag)
-# latch err_env, and callers retry at the safe step count below.
-STEPS_SAFE = 3       # retry step count: the provable envelope (compound
-# EOB/DC0 steps keep conformant streams within 3 symbols/byte)
+STEPS_PER_BYTE = 2   # legacy 1-byte-column spec (speculative path; tests)
+STEPS_PRODUCTION = (1, 2)   # production spec: (bytes per scan column,
+# symbol steps per column).  Measured negative result (r2, real chip,
+# 64x640^2 q90 chunks): 2-byte columns with two interleaved 8-bit refills
+# — (2, 4), same 2-steps/byte envelope — halve the lax.scan trip count
+# but save only ~1.4 ms of a ~19 ms scan (the scan is step-THROUGHPUT
+# bound at 5120 lanes, not column-latency bound), and (2, 3)'s 1.5
+# steps/byte is outside q90 noisy content's ~2 symbols/byte (every lane
+# latched err_env).  The bpc=2 machinery is kept working for sparser
+# content (steps=(2, 3) wins ~10% there) but production stays (1, 2).
+# Streams denser than 2 symbols/byte sustained latch err_env and callers
+# retry at the safe spec below.
+STEPS_SAFE = 3       # retry spec: 1-byte columns, 3 steps — the provable
+# envelope (compound EOB/DC0 steps keep conformant streams within 3
+# symbols/byte; the buffer can lag 24 bits before losing anything)
+FLUSH_COLS = 6       # trailing no-refill scan columns so end-of-data lanes
+# can drain their buffered bits (see _fsm_scan)
+
+
+def _steps_spec(steps) -> tuple:
+    """Normalize a steps spec -> (bytes_per_col, steps_per_col).
+
+    An int `k` is the legacy 1-byte-column spec (k symbol steps per byte);
+    a tuple is (bytes refilled per scan column, symbol steps per column).
+    """
+    if isinstance(steps, tuple):
+        return steps
+    return (1, steps)
+
+
+def steps_below_safe(steps) -> bool:
+    """True when retrying at STEPS_SAFE decodes strictly more symbols/byte
+    (i.e. an err_env under `steps` is worth one on-device retry)."""
+    if not steps:
+        return False
+    bpc, k = _steps_spec(steps)
+    sb, ks = _steps_spec(STEPS_SAFE)
+    return k * sb < ks * bpc
+
+
 INVALID_LEN = 31    # code length marking the invalid top gap of a table
 
 
@@ -450,7 +483,7 @@ def _fsm_scan(
     start_bits=None,
     start_bim=None,
     chunk_bits=None,
-    steps: int = STEPS_PER_BYTE,
+    steps=STEPS_PRODUCTION,
 ):
     """Run the symbol FSM over byte columns.
 
@@ -461,10 +494,37 @@ def _fsm_scan(
     _decode_jit resolves predictors with a per-lane cumsum (restart mode)
     or leaves them raw for the global cumsum (speculative mode).
 
-    Returns (events int32 [stride, steps, L],
+    `steps` is a spec per _steps_spec: (bytes_per_col, steps_per_col) or a
+    legacy int (1-byte columns).  2-byte columns halve the serial column
+    count: each column carries a packed byte pair and performs two 8-bit
+    refills interleaved with the symbol steps (schedule below).  They
+    require restart mode (start_bits None; the speculative path's partial
+    first take is per-byte).
+
+    Returns (events int32 [n_cols, steps_per_col, L],
              (err_malformed, err_envelope) bool [L], state).
     """
+    bpc, steps_pc = _steps_spec(steps)
     L = xs.shape[1]
+    if bpc == 2:
+        assert start_bits is None, "2-byte columns require restart mode"
+        if xs.shape[0] % 2:
+            xs = jnp.concatenate([xs, jnp.zeros((1, L), xs.dtype)])
+        # one int32 column value per byte pair, stream order preserved
+        xs = (xs[0::2].astype(jnp.int32) << 8) | xs[1::2].astype(jnp.int32)
+    else:
+        assert bpc == 1, f"unsupported bytes_per_col {bpc}"
+    n_data_cols = xs.shape[0]
+    if FLUSH_COLS:
+        # Trailing no-refill columns: a lane that consumed all its data
+        # but still holds buffered bits gets FLUSH_COLS * steps_pc extra
+        # symbol steps to finish.  Without these, short segments (fewer
+        # data columns -> fewer total steps) starve at end-of-data and
+        # force a whole-chunk STEPS_SAFE retry.  32 buffered bits hold at
+        # most 16 two-bit codes, so 6 columns x 3 steps always suffice.
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((FLUSH_COLS,) + xs.shape[1:], xs.dtype)]
+        )
     bpm = len(tables.comp)
     tsel_list = list(tables.tsel)
     comp_pad = 0  # comp kept host-side; not needed in the scan (DC = diffs)
@@ -566,28 +626,45 @@ def _fsm_scan(
         return (buf, navail, bitpos, k4, blk2, bim2, done2, err_mal, err_env,
                 end_bits, end_bim), event
 
+    # Per-column schedule: one 8-bit refill before each step sub-batch.
+    # bpc=2 interleaves refill(byte0), k0 steps, refill(byte1), k1 steps —
+    # the per-byte refill keeps the (1, K) envelope semantics exactly (a
+    # symbol can need 27 bits available; an 8-bit refill is always legal
+    # up to 24 bits of backlog, where a 16-bit one would already lose
+    # bits at 17) while still HALVING the serial column count.  Front-
+    # loading the steps (k0 >= k1) drains backlog before the second
+    # refill.
+    ks = [steps_pc]
+    if bpc == 2:
+        k0 = (steps_pc + 1) // 2
+        ks = [k0, steps_pc - k0]
+
     def body(st, col_and_byte):
-        col, byte_u8 = col_and_byte
-        byte = byte_u8.astype(jnp.int32)
-        (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
-         end_bits, end_bim) = st
-        active = ~done & ~err_mal & ~err_env
-        if start_bits is None:
-            take = jnp.where(active, 8, 0)
-        else:
-            take = jnp.where(active,
-                             8 - jnp.clip(start_bits - col * 8, 0, 8), 0)
-        overflow = navail + take > 32
-        err_env = err_env | (active & overflow & (take > 0))
-        take = jnp.where(overflow, 0, take)
-        buf = (buf << take) | (byte & ((1 << take) - 1))
-        navail = navail + take
-        st = (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
-              end_bits, end_bim)
+        col, colv_raw = col_and_byte
+        colv = colv_raw.astype(jnp.int32)
         events = []
-        for _ in range(steps):
-            st, ev = symbol_step(st)
-            events.append(ev)
+        for b, kb in enumerate(ks):
+            byte = (colv >> (8 * (bpc - 1 - b))) & 0xFF
+            (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
+             end_bits, end_bim) = st
+            active = ~done & ~err_mal & ~err_env
+            refill = active & (col < n_data_cols)
+            if start_bits is None:
+                take = jnp.where(refill, 8, 0)
+            else:
+                take = jnp.where(
+                    refill, 8 - jnp.clip(start_bits - col * 8, 0, 8), 0
+                )
+            overflow = navail + take > 32
+            err_env = err_env | (active & overflow & (take > 0))
+            take = jnp.where(overflow, 0, take)
+            buf = (buf << take) | (byte & ((1 << take) - 1))
+            navail = navail + take
+            st = (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
+                  end_bits, end_bim)
+            for _ in range(kb):
+                st, ev = symbol_step(st)
+                events.append(ev)
         return st, jnp.stack(events)
 
     init = (
@@ -796,7 +873,7 @@ def _decode_jit(
     start_bits=None,
     start_bim=None,
     dc_diff: bool = False,
-    steps: int = STEPS_PER_BYTE,
+    steps=STEPS_PRODUCTION,
 ):
     """FSM + butterflies: (per_lane int32 [L, max_blk, 64], err bool [L]).
 
@@ -874,7 +951,7 @@ def _gather_rows(stacked, perm):
     return jnp.take(stacked, perm, axis=0)
 
 
-def decode_plan(plan: FsmPlan, uploaded=None, steps: int = STEPS_PER_BYTE):
+def decode_plan(plan: FsmPlan, uploaded=None, steps=STEPS_PRODUCTION):
     """Run the FSM decoder -> (per_lane [n_segs, max_blk, 64], err masks).
 
     Rows are in original lane (scan) order; or-ing the masks gives the
@@ -913,7 +990,7 @@ def entropy_decode_fsm(imgs: list[JpegImage]) -> np.ndarray:
     """
     plan = build_plan(imgs)
     uploaded = upload_plan(plan)
-    for steps in (STEPS_PER_BYTE, STEPS_SAFE):
+    for steps in (STEPS_PRODUCTION, STEPS_SAFE):
         per_lane, (err_mal, err_env) = decode_plan(plan, uploaded, steps=steps)
         mal, env = (
             bool(jax.device_get(jnp.any(e))) for e in (err_mal, err_env)

@@ -129,7 +129,7 @@ class _Chunk:
     dc_dev: object = None              # resolved DC [B, n_blocks] (fused fsm)
     uploaded: object = None            # staged device scan bytes (K retry)
     plan: object = None                # FsmPlan (fsm backend, for K retry)
-    steps: int = 0                     # FSM symbol-steps/byte used
+    steps = 0                          # FSM steps spec used (fsm._steps_spec)
     err_mal: object = None             # device malformed mask (fsm backend)
     err_env: object = None             # device envelope mask (fsm backend)
     out: object = None                 # device (rgb, risk, metrics)
@@ -307,7 +307,7 @@ class BatchDecoder:
         chunk.backend = "fsm-spec"
         return True
 
-    def _process_chunk_fsm(self, chunk: _Chunk, steps: int | None = None) -> bool:
+    def _process_chunk_fsm(self, chunk: _Chunk, steps=None) -> bool:
         """Fully device-resident: scan bytes up, FSM decode, device-side
         assemble, pixel program.  Nothing but the scan crosses the host
         boundary.  Streams without restart markers take the speculative
@@ -330,7 +330,7 @@ class BatchDecoder:
             except JpegError:
                 return self._process_chunk_spec(chunk)
         chunk.plan = plan
-        chunk.steps = steps if steps is not None else fsm.STEPS_PER_BYTE
+        chunk.steps = steps if steps is not None else fsm.STEPS_PRODUCTION
         B = self._pad_batch()
         if len(plan.groups) == 1 and self.mesh.devices.size == 1:
             # single chip + single stride group: the whole chunk compiles
@@ -469,7 +469,7 @@ class BatchDecoder:
 
                 flags = np.asarray(jax.device_get(chunk.fence))
                 mal, env = bool(flags[1]), bool(flags[2])
-                if env and not mal and 0 < chunk.steps < _fsm.STEPS_SAFE:
+                if env and not mal and _fsm.steps_below_safe(chunk.steps):
                     # denser than the fast symbol-step envelope: retry the
                     # whole chunk ON DEVICE at the safe step count before
                     # falling back to the host

@@ -71,7 +71,7 @@ def compiled_fused_decoder(
     layout: tuple,
     pad_to: int,
     fancy: bool = False,
-    steps: int = fsm.STEPS_PER_BYTE,
+    steps=fsm.STEPS_PRODUCTION,
     want_coeffs: bool = True,
 ):
     """One jitted program: scan bytes [L, stride] -> rgb + risk + errors.
@@ -113,7 +113,7 @@ def compiled_fused_decoder(
 
 
 def decode_chunk_fused(plan: fsm.FsmPlan, quant, geom: Geometry, pad_to: int,
-                       fancy: bool = False, steps: int = fsm.STEPS_PER_BYTE,
+                       fancy: bool = False, steps=fsm.STEPS_PRODUCTION,
                        uploaded=None, want_coeffs: bool = True):
     """Convenience wrapper: run a single-group plan through the fused
     program.  `uploaded` is (xs_dev, seg_n_dev) to skip the host upload
