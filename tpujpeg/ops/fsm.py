@@ -77,8 +77,14 @@ STEPS_PRODUCTION = (1, 2)   # production spec: (bytes per scan column,
 # steps/byte is outside q90 noisy content's ~2 symbols/byte (every lane
 # latched err_env).  The bpc=2 machinery is kept working for sparser
 # content (steps=(2, 3) wins ~10% there) but production stays (1, 2).
-# Streams denser than 2 symbols/byte sustained latch err_env and callers
-# retry at the safe spec below.
+# Fractional pooled budgets via bpc=4 — (4, 7) = 1.75 steps/byte, the
+# schedule below front-loads the per-byte step counts — decode sparse
+# content fine but latch err_env on 14% of lanes (35/256) of the q90
+# noisy bench content (tools: /tmp-era probe, r2): local symbol density
+# routinely exceeds 1.75/byte over a 4-byte window, and the whole-chunk
+# STEPS_SAFE retry costs more than the 12.5% step saving.  Streams denser
+# than 2 symbols/byte sustained latch err_env and callers retry at the
+# safe spec below.
 STEPS_SAFE = 3       # retry spec: 1-byte columns, 3 steps — the provable
 # envelope (compound EOB/DC0 steps keep conformant streams within 3
 # symbols/byte; the buffer can lag 24 bits before losing anything)
@@ -505,15 +511,19 @@ def _fsm_scan(
              (err_malformed, err_envelope) bool [L], state).
     """
     bpc, steps_pc = _steps_spec(steps)
+    assert 1 <= bpc <= 4 and steps_pc >= bpc, f"bad steps spec {steps}"
     L = xs.shape[1]
-    if bpc == 2:
-        assert start_bits is None, "2-byte columns require restart mode"
-        if xs.shape[0] % 2:
-            xs = jnp.concatenate([xs, jnp.zeros((1, L), xs.dtype)])
-        # one int32 column value per byte pair, stream order preserved
-        xs = (xs[0::2].astype(jnp.int32) << 8) | xs[1::2].astype(jnp.int32)
-    else:
-        assert bpc == 1, f"unsupported bytes_per_col {bpc}"
+    if bpc > 1:
+        assert start_bits is None, "multi-byte columns require restart mode"
+        if xs.shape[0] % bpc:
+            pad = bpc - xs.shape[0] % bpc
+            xs = jnp.concatenate([xs, jnp.zeros((pad, L), xs.dtype)])
+        # one int32 column value per byte group, stream order preserved
+        # (byte 0 in the high bits; the body peels them high-to-low)
+        packed = xs[0::bpc].astype(jnp.int32)
+        for b in range(1, bpc):
+            packed = (packed << 8) | xs[b::bpc].astype(jnp.int32)
+        xs = packed
     n_data_cols = xs.shape[0]
     if FLUSH_COLS:
         # Trailing no-refill columns: a lane that consumed all its data
@@ -627,17 +637,15 @@ def _fsm_scan(
                 end_bits, end_bim), event
 
     # Per-column schedule: one 8-bit refill before each step sub-batch.
-    # bpc=2 interleaves refill(byte0), k0 steps, refill(byte1), k1 steps —
-    # the per-byte refill keeps the (1, K) envelope semantics exactly (a
-    # symbol can need 27 bits available; an 8-bit refill is always legal
-    # up to 24 bits of backlog, where a 16-bit one would already lose
-    # bits at 17) while still HALVING the serial column count.  Front-
-    # loading the steps (k0 >= k1) drains backlog before the second
-    # refill.
-    ks = [steps_pc]
-    if bpc == 2:
-        k0 = (steps_pc + 1) // 2
-        ks = [k0, steps_pc - k0]
+    # bpc>1 interleaves refill(byte b), k_b steps per byte — the per-byte
+    # refill keeps the (1, K) envelope semantics (a symbol can need 27
+    # bits available; an 8-bit refill is always legal up to 24 bits of
+    # backlog, where a 16-bit one would already lose bits at 17) while
+    # dividing the serial column count by bpc.  Fractional budgets like
+    # (4, 7) = 1.75 steps/byte front-load the steps (k_b non-increasing)
+    # to drain backlog before later refills.
+    base, extra = divmod(steps_pc, bpc)
+    ks = [base + (1 if b < extra else 0) for b in range(bpc)]
 
     def body(st, col_and_byte):
         col, colv_raw = col_and_byte
