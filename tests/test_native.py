@@ -129,3 +129,69 @@ def test_batch_int16_overflow_retries_on_int32():
     got = dec.decode_parsed([img])
     want = oracle.decode(img).astype(np.uint8)
     np.testing.assert_array_equal(got[0], want)
+
+
+# -- native destuff == NumPy destuff ------------------------------------------
+
+
+def _numpy_destuff(sub):
+    """Run destuff_scan's NumPy tail with the native fast path disabled."""
+    from tpujpeg.io import destuff as D
+
+    old = D._native
+    D._native = None
+    try:
+        return D.destuff_scan(sub, 0)
+    finally:
+        D._native = old
+
+
+def _edge_streams():
+    mk = lambda *bs: np.asarray(bs, np.uint8)  # noqa: E731
+    return [
+        mk(1, 2, 0xFF, 0x00, 3, 0xFF, 0xD9),          # stuffed byte
+        mk(0xFF, 0xD0, 1, 2, 0xFF, 0xD9),              # opens with RST
+        mk(0xFF, 0xFF, 0xD9),                          # fill byte then EOI
+        mk(1, 0xFF, 0xFF, 0x00, 2, 0xFF, 0xD9),        # fill then stuffed
+        mk(1, 2, 3, 0xFF, 0xD1, 0xFF, 0xD2, 0xFF, 0xD9),  # two RSTs
+        mk(0xFF, 0xD7, 0xFF, 0xD9),                    # RST then EOI
+    ]
+
+
+def test_native_destuff_matches_numpy(native):
+    from tpujpeg.errors import JpegError
+
+    for i, sub in enumerate(_edge_streams()):
+        a = native.destuff(sub)
+        b = _numpy_destuff(sub)
+        assert np.array_equal(a[0], b[0]), f"scan bytes differ (case {i})"
+        assert np.array_equal(a[1], b[1]), f"segment offsets differ (case {i})"
+    # error cases agree (no terminator / lone trailing 0xFF)
+    for sub in (np.asarray([1, 2, 3], np.uint8), np.asarray([1, 0xFF], np.uint8)):
+        with pytest.raises(JpegError):
+            native.destuff(sub)
+        with pytest.raises(JpegError):
+            _numpy_destuff(sub)
+
+
+def test_native_destuff_matches_numpy_real_scans(native):
+    for rst, q in ((0, 90), (1, 90), (3, 50)):
+        data = (
+            make_jpeg_rst((96, 96), rst_interval=rst, quality=q)
+            if rst
+            else make_jpeg((96, 96), quality=q, smooth=False)
+        )
+        # run the full parse through each destuff path and compare
+        from tpujpeg.io.parser import parse as _parse
+        from tpujpeg.io import destuff as D
+
+        old = D._native
+        try:
+            D._native = native
+            img_n = _parse(data)
+            D._native = None
+            img_p = _parse(data)
+        finally:
+            D._native = old
+        assert np.array_equal(img_n.scan_data, img_p.scan_data)
+        assert np.array_equal(img_n.segment_offsets, img_p.segment_offsets)

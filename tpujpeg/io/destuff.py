@@ -19,11 +19,32 @@ self-synchronizing bitstream split (parser.cu:132-208).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..errors import JpegError
 
 _RST_LO, _RST_HI = 0xD0, 0xD7
+
+
+_native = None
+_native_checked = False
+
+
+def _native_runtime():
+    """The C++ runtime's destuff, if it builds on this box (else None)."""
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        if not os.environ.get("TPJ_NO_NATIVE"):
+            try:
+                from ..runtime.native import lib as _nlib  # lazy: import cycle
+
+                _native = _nlib.load()
+            except Exception:  # noqa: BLE001 - any toolchain failure
+                _native = None
+    return _native
 
 
 def destuff_scan(buf: np.ndarray, start: int) -> tuple[np.ndarray, np.ndarray]:
@@ -40,6 +61,10 @@ def destuff_scan(buf: np.ndarray, start: int) -> tuple[np.ndarray, np.ndarray]:
     sub = buf[start:]
     if sub.size == 0:
         raise JpegError("empty scan")
+
+    rt = _native_runtime()
+    if rt is not None:
+        return rt.destuff(sub)
 
     ff_pos = np.flatnonzero(sub == 0xFF)
     # A trailing lone 0xFF is malformed; clamp the lookahead.
@@ -69,9 +94,7 @@ def destuff_scan(buf: np.ndarray, start: int) -> tuple[np.ndarray, np.ndarray]:
     scan_data = sub[:end][keep]
     # De-stuffed offset where each post-RST segment begins = number of kept
     # bytes strictly before the marker pair.
-    kept_before = np.cumsum(keep)
-    seg_starts = kept_before[rst_at - 1] if rst_at.size else np.empty(0, np.int64)
-    # rst_at == 0 would mean the scan opens with a restart marker (malformed
-    # but harmless): segment starts at 0 which the concat below already covers.
+    kept_excl = np.concatenate([[0], np.cumsum(keep)])
+    seg_starts = kept_excl[rst_at] if rst_at.size else np.empty(0, np.int64)
     segment_offsets = np.concatenate([[0], seg_starts]).astype(np.int64)
     return np.ascontiguousarray(scan_data), segment_offsets

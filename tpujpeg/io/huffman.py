@@ -111,13 +111,26 @@ class HuffmanTable:
         raise ValueError(f"no Huffman code matches window {peek16:#06x}")
 
 
+_dht_cache: dict[bytes, dict[int, "HuffmanTable"]] = {}
+
+
 def parse_dht_payload(payload: bytes | np.ndarray) -> dict[int, HuffmanTable]:
     """Parse a DHT segment payload (may contain several tables).
 
     Returns {table_header_byte: HuffmanTable} where the header byte is
     (table_class << 4) | table_id — e.g. 0x00 DC-luma, 0x10 AC-luma, matching
     the reference's tree map keys (parser.cu:415, 340-349).
+
+    Results are cached on the payload bytes: batches overwhelmingly reuse
+    one table family (encoders emit the Annex K defaults), and rebuilding
+    the canonical code arrays per image was a measured host cost at batch
+    scale.  Tables are immutable by convention; callers get a shallow copy
+    of the mapping.
     """
+    key = bytes(payload)
+    hit = _dht_cache.get(key)
+    if hit is not None:
+        return dict(hit)
     data = np.frombuffer(bytes(payload), dtype=np.uint8)
     tables: dict[int, HuffmanTable] = {}
     pos = 0
@@ -140,4 +153,6 @@ def parse_dht_payload(payload: bytes | np.ndarray) -> dict[int, HuffmanTable]:
             raise ValueError("DC Huffman table defines size symbols > 15")
         tables[header] = HuffmanTable(counts=counts, symbols=symbols)
         pos += 17 + n
+    if len(_dht_cache) < 256:
+        _dht_cache[key] = dict(tables)
     return tables

@@ -338,14 +338,16 @@ def _pack_group(seg_bytes, nblocks, idxs):
     stride = _stride_bucket(max(seg_bytes[i].size for i in idxs))
     Lg = _round_up(max(len(idxs), 8), 128)
     xs = np.zeros((Lg, stride), np.uint8)
-    seg_n = np.zeros(Lg, np.int32)
+    # ROW-major [Lg, stride]: the device transposes to scan layout for
+    # ~free; transposing here cost ~160 ms of host time per 64-image
+    # chunk (60% of build_plan).  The per-row loop stays: 5120 contiguous
+    # row memcpys measure 6x faster than a vectorized flat scatter (the
+    # 11M-element index build + random-access writes dominate).
     for row, i in enumerate(idxs):
         b = seg_bytes[i]
         xs[row, : b.size] = b
-        seg_n[row] = nblocks[i]
-    # ROW-major [Lg, stride]: the device transposes to scan layout for
-    # ~free; transposing here cost ~160 ms of host time per 64-image
-    # chunk (60% of build_plan).
+    seg_n = np.zeros(Lg, np.int32)
+    seg_n[: len(idxs)] = np.asarray(nblocks, np.int32)[idxs]
     return xs, seg_n
 
 

@@ -37,6 +37,9 @@ _ERRORS = {
     -2: "stream ended early: missing restart segment",
     -3: "truncated scan: bit reader ran past end of data",
     -4: "DC predictor exceeds int16 output range (corrupt stream)",
+    -5: "empty scan",
+    -6: "truncated scan: no terminating marker (EOI missing)",
+    -7: "restart segment table overflow",
 }
 
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -69,8 +72,40 @@ class NativeRuntime:
             np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         ]
         self._decode16 = fn16
+        fnd = dll.tpj_destuff
+        fnd.restype = ctypes.c_int32
+        fnd.argtypes = [
+            _u8p, ctypes.c_int64,              # buf, n
+            _u8p, _i64p,                       # out, out_len
+            _i64p, ctypes.c_int64, _i64p,      # seg_offsets, cap, n_segs
+        ]
+        self._destuff = fnd
         self._lut_cache: dict[bytes, np.ndarray] = {}
         self._lut_lock = threading.Lock()
+
+    # -- de-stuffing ---------------------------------------------------------
+
+    def destuff(self, sub: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """De-stuff an entropy-coded scan (bytes past the SOS header).
+
+        Byte-for-byte identical to io.destuff.destuff_scan's NumPy path
+        (enforced by tests/test_native.py); the serial C++ walk replaces
+        three NumPy passes (classify / cumsum / gather) per image, which
+        dominated host parse at batch scale.
+        """
+        sub = np.ascontiguousarray(sub, dtype=np.uint8)
+        out = np.empty(sub.size, np.uint8)
+        # worst case: a restart pair every 2 bytes
+        segs = np.empty(sub.size // 2 + 2, np.int64)
+        out_len = np.zeros(1, np.int64)
+        n_segs = np.zeros(1, np.int64)
+        rc = self._destuff(sub, sub.size, out, out_len, segs, segs.size, n_segs)
+        if rc != 0:
+            raise JpegError(_ERRORS.get(rc, f"native destuff failed ({rc})"))
+        return (
+            np.ascontiguousarray(out[: int(out_len[0])]),
+            segs[: int(n_segs[0])].copy(),
+        )
 
     # -- LUTs ---------------------------------------------------------------
 
@@ -164,7 +199,7 @@ def load() -> NativeRuntime:
         if _runtime is None:
             path = build.build()
             dll = ctypes.CDLL(str(path))
-            if dll.tpj_version() != 4:
+            if dll.tpj_version() != 5:
                 raise RuntimeError("native ABI version mismatch")
             _runtime = NativeRuntime(dll)
     return _runtime
