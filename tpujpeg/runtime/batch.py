@@ -128,7 +128,9 @@ class _Chunk:
     coeffs_dev: object = None          # device coeffs (fsm backend)
     dc_dev: object = None              # resolved DC [B, n_blocks] (fused fsm)
     uploaded: object = None            # staged device scan bytes (K retry)
+    uploaded_plan: object = None       # fsm.upload_plan result (all groups)
     plan: object = None                # FsmPlan (fsm backend, for K retry)
+    plan_future: object = None         # async build_plan+upload (pipelining)
     steps = 0                          # FSM steps spec used (fsm._steps_spec)
     err_mal: object = None             # device malformed mask (fsm backend)
     err_env: object = None             # device envelope mask (fsm backend)
@@ -158,6 +160,12 @@ class BatchDecoder:
         self.fancy = fancy
         self.mesh = mesh if mesh is not None else sharding.make_mesh(n_stripe=1)
         self.pool = ThreadPoolExecutor(max_workers=workers)
+        # Dedicated two-deep pool for chunk preparation (plan packing +
+        # scan upload): sharing the parse pool would FIFO-queue prepares
+        # behind every pending parse, stalling the first dispatch.  Depth
+        # 2 keeps at most a couple of prepared chunks' scan bytes staged
+        # ahead of the device.
+        self.prep_pool = ThreadPoolExecutor(max_workers=2)
         self.stats = BatchStats()
 
     # -- entropy backends ---------------------------------------------------
@@ -307,6 +315,37 @@ class BatchDecoder:
         chunk.backend = "fsm-spec"
         return True
 
+    def _prefers_fsm(self) -> bool:
+        """Whether this decoder routes chunks to the device FSM first."""
+        if self.backend == "fsm":
+            return True
+        if self.backend != "auto":
+            return False
+        from . import host
+
+        return (
+            host._load_native() is None
+            or measured_link_mbps() < _LINK_MBPS_FSM_THRESHOLD
+        )
+
+    def _prepare_chunk_fsm(self, chunk: _Chunk):
+        """Pool-side chunk preparation: pack the plan and stage its scan
+        bytes on the device.  Runs on a worker thread so chunk n+1's
+        build_plan + upload overlap chunk n's device stages (the
+        reference's pipe2 producer/consumer idea at host level).  Returns
+        (plan, uploaded_plan) or the JpegError (callers route those chunks
+        to the speculative path)."""
+        from ..ops import fsm
+
+        try:
+            plan = fsm.build_plan(
+                chunk.imgs,
+                split=measured_link_mbps() < _LINK_MBPS_FSM_THRESHOLD,
+            )
+        except JpegError as e:
+            return e
+        return plan, fsm.upload_plan(plan)
+
     def _process_chunk_fsm(self, chunk: _Chunk, steps=None) -> bool:
         """Fully device-resident: scan bytes up, FSM decode, device-side
         assemble, pixel program.  Nothing but the scan crosses the host
@@ -316,8 +355,14 @@ class BatchDecoder:
         tables, oversized segments) so the caller can fall back."""
         from ..ops import fsm
 
+        if chunk.plan is None and chunk.plan_future is not None:
+            res = chunk.plan_future.result()
+            chunk.plan_future = None
+            if isinstance(res, JpegError):
+                return self._process_chunk_spec(chunk)
+            chunk.plan, chunk.uploaded_plan = res
         if chunk.plan is not None:
-            plan = chunk.plan  # K-retry: reuse the packed plan
+            plan = chunk.plan  # prepared, or K-retry reusing the packed plan
         else:
             try:
                 # split lane packing only pays when the upload rides a slow
@@ -339,11 +384,14 @@ class BatchDecoder:
             from . import fused
 
             if chunk.uploaded is None:
-                xs, sn = plan.groups[0]
-                chunk.uploaded = (
-                    jax.device_put(jnp.asarray(xs)),
-                    jax.device_put(jnp.asarray(sn)),
-                )
+                if chunk.uploaded_plan is not None:
+                    chunk.uploaded = chunk.uploaded_plan[0][0]
+                else:
+                    xs, sn = plan.groups[0]
+                    chunk.uploaded = (
+                        jax.device_put(jnp.asarray(xs)),
+                        jax.device_put(jnp.asarray(sn)),
+                    )
             rgb, risk, coeffs, dc, err_mal, err_env, _ = (
                 fused.decode_chunk_fused(
                     plan, jnp.asarray(self._quant_block(chunk, B)),
@@ -362,7 +410,11 @@ class BatchDecoder:
             chunk.fence = _pack_fence(rgb, err_mal, err_env)
             chunk.backend = "fsm"
             return True
-        per_lane, (err_mal, err_env) = fsm.decode_plan(plan, steps=chunk.steps)
+        if chunk.uploaded_plan is None:
+            chunk.uploaded_plan = fsm.upload_plan(plan)
+        per_lane, (err_mal, err_env) = fsm.decode_plan(
+            plan, uploaded=chunk.uploaded_plan, steps=chunk.steps
+        )
         coeffs = fsm.assemble_batched(per_lane, layout=plan.layout, pad_to=B)
         coeffs = coeffs.reshape(B, chunk.geom.n_blocks, 64)
         fn = sharding.compiled_batch_decoder(chunk.geom, self.mesh, self.fancy)
@@ -404,17 +456,11 @@ class BatchDecoder:
                 raise JpegError("fsm: chunk outside the FSM decode envelope")
             return
         if self.backend == "auto":
-            from . import host
-
             # Measured policy (PERFORMANCE.md): the device FSM uploads only
             # scan bytes, the host path uploads ~6x the compressed size as
             # coefficients — so a slow link (or no native runtime) means
             # fsm, a fast link with the C++ runtime means host.
-            prefer_fsm = (
-                host._load_native() is None
-                or measured_link_mbps() < _LINK_MBPS_FSM_THRESHOLD
-            )
-            if prefer_fsm and self._process_chunk_fsm(chunk):
+            if self._prefers_fsm() and self._process_chunk_fsm(chunk):
                 return
         self._process_chunk_host(chunk, isolate=isolate)
 
@@ -443,11 +489,17 @@ class BatchDecoder:
         isolate = on_error == "skip"
         chunks = self._make_chunks(imgs)
 
+        if self._prefers_fsm():
+            measured_link_mbps()  # probe once before pool threads race it
+            for chunk in chunks:
+                chunk.plan_future = self.prep_pool.submit(
+                    self._prepare_chunk_fsm, chunk
+                )
         t_ent = 0.0
         for chunk in chunks:
             t0 = time.perf_counter()
             # async device dispatch: chunk n's device stages overlap chunk
-            # n+1's host work
+            # n+1's host work (plans + uploads prepared on the pool above)
             self._dispatch_chunk(chunk, isolate)
             t_ent += time.perf_counter() - t0
         return self._finish(chunks, len(imgs), t_start, t_ent, fetch, isolate)
@@ -578,14 +630,36 @@ class BatchDecoder:
         t_parse = 0.0
         t_ent = 0.0
 
-        def flush(geom, idxs, ims):
+        prep = self._prefers_fsm()
+        if prep:
+            measured_link_mbps()  # probe once before pool threads race it
+        pending: list[_Chunk] = []
+
+        def drain(block: bool) -> None:
             nonlocal t_ent
+            while pending:
+                c = pending[0]
+                if (
+                    not block
+                    and c.plan_future is not None
+                    and not c.plan_future.done()
+                ):
+                    break
+                pending.pop(0)
+                t0 = time.perf_counter()
+                self._dispatch_chunk(c, isolate)
+                t_ent += time.perf_counter() - t0
+
+        def flush(geom, idxs, ims):
             chunk = _Chunk(geom, list(idxs), list(ims))
             idxs.clear()
             ims.clear()
-            t0 = time.perf_counter()
-            self._dispatch_chunk(chunk, isolate)
-            t_ent += time.perf_counter() - t0
+            if prep:
+                chunk.plan_future = self.prep_pool.submit(
+                    self._prepare_chunk_fsm, chunk
+                )
+            pending.append(chunk)
+            drain(block=False)
             chunks.append(chunk)
 
         for i, f in enumerate(futs):
@@ -607,6 +681,7 @@ class BatchDecoder:
         for geom, (idxs, ims) in buckets.items():
             if idxs:
                 flush(geom, idxs, ims)
+        drain(block=True)
 
         out = self._finish(chunks, n_parsed, t_start, t_ent, fetch, isolate)
         self.stats.parse_s = t_parse
