@@ -428,11 +428,15 @@ def build_plan(imgs: list[JpegImage], split: bool = True) -> FsmPlan:
             perm[i] = base + row
         base += groups[-1][1].shape[0]
 
-    # Bucket the lane capacity so nearby geometries share one compile
-    # (axon compiles are minutes; the spread network only grows ~2x).
-    max_blk = 8
-    while max_blk < max(nblocks):
-        max_blk *= 2
+    # Bucket the lane capacity to a multiple of 16 blocks.  Production
+    # chunks are bucketed by geometry before planning, so the fused
+    # program recompiles per geometry REGARDLESS of this value — a pow2
+    # bucket (the r1 choice) bought no compile reuse there and cost up
+    # to +6.7% on every M-proportional stage (spread windows, DC cumsum,
+    # transpose, assemble input).  The layout-independent _decode_jit
+    # still shares compiles across geometries with equal 16-block
+    # buckets.
+    max_blk = max(16, _round_up(max(nblocks), 16))
     return FsmPlan(
         groups=tuple(groups),
         perm=perm,
