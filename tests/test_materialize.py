@@ -121,3 +121,19 @@ def test_v3_compiled_on_chip():
         materialize.place_events_v3(jnp.asarray(ev), M=M)
     ).astype(np.int32)
     np.testing.assert_array_equal(got, want)
+
+@pytest.mark.parametrize("kc", [2, 3, 4])
+@pytest.mark.parametrize("n_rows,max_blk", [(4000, 80), (2500, 35)])
+def test_v3_wider_span_matches_xla(kc, n_rows, max_blk):
+    # the multi-window stacks (stages d < kc*W in one kernel) must be
+    # bit-identical to the kc=1 shape and the XLA network; kc=3 exercises
+    # the power-of-two clamp in _span_for
+    rng = np.random.default_rng(1000 + kc + n_rows)
+    L = 128
+    M = max_blk * 64
+    ev, want = _random_events(rng, n_rows, max_blk, L, 0.25)
+    got = np.asarray(
+        materialize.place_events_v3(jnp.asarray(ev), M=M, interpret=True,
+                                    kc=kc)
+    ).astype(np.int32)
+    np.testing.assert_array_equal(got, want)

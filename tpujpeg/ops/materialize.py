@@ -196,33 +196,38 @@ def _scalar_mask(cond_i32):
     return jnp.int32(0) - cond_i32
 
 
-def _fine_compact_kernel(pc_ref, ps_ref, oc_ref, os_ref, p_out, o_out,
-                         *, n_win: int):
-    """Compact stages d < _W on a [2W, tile] stack (window + successor).
+def _fine_compact_kernel(*refs, n_win: int, kc: int):
+    """Compact stages d < kc*W on a [(kc+1)W, tile] stack (window + kc
+    successors).
 
-    Entries move UP by (offset & (W-1)) < W during these stages, so every
-    entry whose mid-network position lands in window q starts in the
-    stack; the keep mask drops the rest (they are produced by their own
-    window's grid cell).  The clamped successor of the LAST window is a
-    duplicate of the window itself and is ghost-masked.
+    Entries move UP by (offset & (kc*W - 1)) < kc*W during these stages,
+    so every entry whose mid-network position lands in window q starts in
+    the stack; the keep mask drops the rest (they are produced by their
+    own window's grid cell).  Clamped successors past the LAST window are
+    duplicates and are ghost-masked.  kc=1 is the round-2 two-ref kernel;
+    larger spans trade VMEM for coarse XLA passes (each +1 of kc removes
+    one full-matrix HBM round-trip from the compact network).
     """
     from jax.experimental import pallas as pl
 
-    p = jnp.concatenate([pc_ref[:], ps_ref[:]])          # [2W, t] int32
-    o = jnp.concatenate([oc_ref[:], os_ref[:]]).astype(jnp.int32)
+    p_refs, o_refs = refs[: kc + 1], refs[kc + 1 : 2 * (kc + 1)]
+    p_out, o_out = refs[2 * (kc + 1)], refs[2 * (kc + 1) + 1]
+    p = jnp.concatenate([r[:] for r in p_refs])          # [(kc+1)W, t] int32
+    o = jnp.concatenate([r[:] for r in o_refs]).astype(jnp.int32)
     H = o.shape[0]
-    W = H // 2
+    W = H // (kc + 1)
+    D = kc * W
+    shift = W.bit_length() - 1
     q = pl.program_id(0)
     pos = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
-    # rows >= W are ghosts when q == n_win - 1 (clamped duplicate)
-    m_last = _scalar_mask((q == n_win - 1).astype(jnp.int32))
-    ghost = m_last & ~((pos - W) >> 31)                  # all-ones where ghost
-    exit_local = pos - (o & (W - 1))
+    # a stack row is a ghost when its source window q + pos//W clamped
+    ghost = ~(((q + (pos >> shift)) - n_win) >> 31)
+    exit_local = pos - (o & (D - 1))
     keep = (o >= 0) & (exit_local >= 0) & (exit_local < W) & (ghost == 0)
     o = jnp.where(keep, o, -1)
     p = jnp.where(keep, p, 0)
     d = 1
-    while d < W:
+    while d < D:
         sp = _rolled(p, d, 0)
         so = _rolled(o, d, -1)
         move = (so >= 0) & ((so & d) > 0)
@@ -234,30 +239,34 @@ def _fine_compact_kernel(pc_ref, ps_ref, oc_ref, os_ref, p_out, o_out,
     o_out[:] = o[:W].astype(jnp.int16)
 
 
-def _fine_spread_kernel(op_ref, oc_ref, vp_ref, vc_ref, out_ref):
-    """Spread stages d < _W on a [2W, tile] stack (predecessor + window).
+def _fine_spread_kernel(*refs, kc: int):
+    """Spread stages d < kc*W on a [(kc+1)W, tile] stack (kc predecessors
+    + window).
 
-    Coarse XLA stages ran down to d = W, so every remaining offset is
-    < W and entries move DOWN by < W rows: window q's coefficients come
-    from the stack.  Window 0's clamped predecessor duplicate is
-    ghost-masked.
+    Coarse XLA stages ran down to d = kc*W, so every remaining offset is
+    < kc*W and entries move DOWN by < kc*W rows: window q's coefficients
+    come from the stack.  Clamped predecessor duplicates below window 0
+    are ghost-masked.
     """
     from jax.experimental import pallas as pl
 
-    o = jnp.concatenate([op_ref[:], oc_ref[:]]).astype(jnp.int32)
-    p = jnp.concatenate([vp_ref[:], vc_ref[:]]).astype(jnp.int32)
+    o_refs, v_refs = refs[: kc + 1], refs[kc + 1 : 2 * (kc + 1)]
+    out_ref = refs[2 * (kc + 1)]
+    o = jnp.concatenate([r[:] for r in o_refs]).astype(jnp.int32)
+    p = jnp.concatenate([r[:] for r in v_refs]).astype(jnp.int32)
     H = o.shape[0]
-    W = H // 2
+    W = H // (kc + 1)
+    D = kc * W
+    shift = W.bit_length() - 1
     q = pl.program_id(0)
     pos = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
-    # rows < W are ghosts when q == 0 (clamped duplicate of window 0)
-    m_q0 = _scalar_mask((q == 0).astype(jnp.int32))
-    ghost = m_q0 & ((pos - W) >> 31)                     # all-ones where ghost
+    # stack row r comes from window q - kc + r//W; negative => ghost
+    ghost = (q - kc + (pos >> shift)) >> 31
     land = pos + o                                       # stack frame target
-    keep = (o >= 0) & (land >= W) & (land < 2 * W) & (ghost == 0)
+    keep = (o >= 0) & (land >= D) & (land < D + W) & (ghost == 0)
     o = jnp.where(keep, o, -1)
     p = jnp.where(keep, p, 0)
-    d = W // 2
+    d = D // 2
     while d >= 1:
         sp = _rolled_down(p, d, 0)
         so = _rolled_down(o, d, -1)
@@ -266,7 +275,28 @@ def _fine_spread_kernel(op_ref, oc_ref, vp_ref, vc_ref, out_ref):
         p = jnp.where(move, sp, jnp.where(stay, p, 0))
         o = jnp.where(move, so - d, jnp.where(stay, o, -1))
         d //= 2
-    out_ref[:] = jnp.where(o == 0, p, 0)[W:].astype(jnp.int16)
+    out_ref[:] = jnp.where(o == 0, p, 0)[D:].astype(jnp.int16)
+
+
+# Stack span: the fine kernels run all stages d < _KC*_W on a
+# [(KC+1)W, tile] stack.  Each +1 of span removes one coarse XLA pass
+# (a full-matrix HBM round-trip) from EACH network at the cost of
+# (2 live int32 stack arrays + staged refs) more VMEM; the working set
+# is ~(2.75*(KC+1) + 1) MB at W=1024/tile=128.  Default 1 (the proven
+# round-2 shape) until the larger spans are validated on a real chip —
+# Mosaic VMEM accounting is the risk, not correctness (interpret-mode
+# tests cover KC=2/3 explicitly).
+_KC = int(os.environ.get("TPUJPEG_PALLAS_KC", "1"))
+
+
+def _span_for(n_win: int, kc: int | None = None) -> int:
+    """Clamp the span to a power of two (the in-kernel stage mask
+    `o & (kc*W - 1)` needs contiguous bits) that fits the window count."""
+    k = max(1, min(_KC if kc is None else kc, n_win - 1))
+    p = 1
+    while p * 2 <= k:
+        p *= 2
+    return p
 
 
 def _use_pallas_v3(N: int, M: int, L: int) -> bool:
@@ -285,13 +315,15 @@ def _use_pallas_v3(N: int, M: int, L: int) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("M", "interpret"))
-def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("M", "interpret", "kc"))
+def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
+                    kc: int | None = None):
     """events int32 [N, L] (-1 = empty) -> values int16 [M, L].
 
     Windowed Pallas compact + spread (fine stages VMEM-resident, coarse
     stages XLA); bit-exact vs the XLA butterflies
-    (tests/test_materialize.py).
+    (tests/test_materialize.py).  `kc` widens the in-kernel stage span
+    (see _KC); None uses the env default.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -313,27 +345,33 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False):
         o = jnp.concatenate([o, jnp.full((Np - N, L), -1, jnp.int16)])
         p = jnp.concatenate([p, jnp.zeros((Np - N, L), jnp.int32)])
 
-    # fine compact stages (d < W), Pallas
+    # fine compact stages (d < kc*W), Pallas
     n_win_c = Np // W
+    k_c = _span_for(n_win_c, kc)
     cur_c = pl.BlockSpec((W, tile), lambda q, i: (q, i),
                          memory_space=pltpu.VMEM)
-    succ = pl.BlockSpec((W, tile),
-                        lambda q, i: (jnp.minimum(q + 1, n_win_c - 1), i),
-                        memory_space=pltpu.VMEM)
+    succs = [
+        pl.BlockSpec((W, tile),
+                     (lambda j: lambda q, i: (
+                         jnp.minimum(q + j, n_win_c - 1), i))(j),
+                     memory_space=pltpu.VMEM)
+        for j in range(1, k_c + 1)
+    ]
+    stack = [cur_c] + succs
     p, o = pl.pallas_call(
-        functools.partial(_fine_compact_kernel, n_win=n_win_c),
+        functools.partial(_fine_compact_kernel, n_win=n_win_c, kc=k_c),
         out_shape=(
             jax.ShapeDtypeStruct((Np, L), jnp.int32),
             jax.ShapeDtypeStruct((Np, L), jnp.int16),
         ),
         grid=(n_win_c, L // tile),
-        in_specs=[cur_c, succ, cur_c, succ],
+        in_specs=stack + stack,
         out_specs=(cur_c, cur_c),
         interpret=interpret,
-    )(p, p, o, o)
+    )(*([p] * (k_c + 1) + [o] * (k_c + 1)))
 
-    # coarse compact stages (d >= W), XLA over the HBM matrix
-    d = W
+    # coarse compact stages (d >= kc*W), XLA over the HBM matrix
+    d = k_c * W
     while d < Np:
         sp = _rolled(p, d, 0)
         so = _rolled(o, d, jnp.int16(-1))
@@ -361,11 +399,13 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False):
 
     o2, v = fit(o2, jnp.int16(-1)), fit(v, jnp.int16(0))
 
-    # coarse spread stages (d >= W), XLA
+    # coarse spread stages (d >= kc*W), XLA
+    n_win_s = Mp // W
+    k_s = _span_for(n_win_s, kc)
     d = 1
     while d * 2 < Mp:
         d *= 2
-    while d >= W:
+    while d >= k_s * W:
         sp = _rolled_down(v, d, jnp.int16(0))
         so = _rolled_down(o2, d, jnp.int16(-1))
         move = so >= d
@@ -375,21 +415,25 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False):
                        jnp.where(stay, o2, jnp.int16(-1)))
         d //= 2
 
-    # fine spread stages (d < W), Pallas
-    n_win_s = Mp // W
+    # fine spread stages (d < kc*W), Pallas
     cur_s = pl.BlockSpec((W, tile), lambda q, i: (q, i),
                          memory_space=pltpu.VMEM)
-    pred = pl.BlockSpec((W, tile),
-                        lambda q, i: (jnp.maximum(q - 1, 0), i),
-                        memory_space=pltpu.VMEM)
+    preds = [
+        pl.BlockSpec((W, tile),
+                     (lambda j: lambda q, i: (
+                         jnp.maximum(q - j, 0), i))(j),
+                     memory_space=pltpu.VMEM)
+        for j in range(k_s, 0, -1)
+    ]
+    stack_s = preds + [cur_s]
     out = pl.pallas_call(
-        _fine_spread_kernel,
+        functools.partial(_fine_spread_kernel, kc=k_s),
         out_shape=jax.ShapeDtypeStruct((Mp, L), jnp.int16),
         grid=(n_win_s, L // tile),
-        in_specs=[pred, cur_s, pred, cur_s],
+        in_specs=stack_s + stack_s,
         out_specs=cur_s,
         interpret=interpret,
-    )(o2, o2, v, v)
+    )(*([o2] * (k_s + 1) + [v] * (k_s + 1)))
     return out[:M]
 
 
