@@ -47,3 +47,24 @@ def test_spec_truncated_raises():
     img.scan_data = img.scan_data[: img.scan_data.size // 2].copy()
     with pytest.raises(JpegError):
         fsm.decode_speculative(img, chunk_bytes=CHUNK)
+
+
+def test_spec_batch_matches_oracle():
+    # several images, different content/sizes of lanes, one Jacobi fixed
+    # point for the whole batch (the production fsm-spec chunk shape)
+    imgs = [
+        parse(make_jpeg(shape=(64, 80), quality=88, seed=s))
+        for s in (3, 4, 5, 6)
+    ]
+    got = fsm.decode_speculative_batch(imgs, chunk_bytes=CHUNK)
+    for g, img in zip(got, imgs):
+        np.testing.assert_array_equal(g, oracle.entropy_decode(img))
+
+
+def test_spec_batch_one_bad_stream_raises():
+    imgs = [
+        parse(make_jpeg(shape=(64, 80), quality=88, seed=s)) for s in (3, 4)
+    ]
+    imgs[1].scan_data = imgs[1].scan_data[: imgs[1].scan_data.size // 2].copy()
+    with pytest.raises(JpegError):
+        fsm.decode_speculative_batch(imgs, chunk_bytes=CHUNK)

@@ -1092,25 +1092,112 @@ def build_spec_plan(img: JpegImage, chunk_bytes: int = 2048) -> SpecPlan:
     )
 
 
-def decode_speculative(
-    img: JpegImage, chunk_bytes: int = 2048, max_iters: int | None = None
-) -> np.ndarray:
-    """Entropy-decode a no-restart stream on device via speculative split.
-
-    Returns int32 [n_blocks, 64] zigzag coefficients, bit-identical to the
-    oracle.  Raises JpegError on malformed streams or non-convergence.
+@dataclass(frozen=True)
+class SpecBatchPlan:
+    """Speculative plan for a whole batch: every image's equal-split
+    chunk rows stacked into ONE lane matrix, so each Jacobi iteration is
+    a single device program + a single host round-trip for the batch
+    (the per-image loop paid both per image — ruinous over a slow link).
     """
-    plan = build_spec_plan(img, chunk_bytes)
-    S = plan.n_lanes
+
+    xs: np.ndarray            # uint8 [L, chunk+overlap]
+    chunk_bits: np.ndarray    # int32 [L]
+    is_first: np.ndarray      # bool [L] lane 0 of its image (exact start)
+    img_first: np.ndarray     # int32 [n_imgs]
+    img_lanes: np.ndarray     # int32 [n_imgs]
+    img_blocks: np.ndarray    # int64 [n_imgs]
+    blk_cap: int
+    tables: FsmTables
+    chunk_bytes: int
+    n_lanes: int
+    bpm: int
+
+
+def build_spec_plan_batch(
+    imgs: list[JpegImage], chunk_bytes: int = 2048
+) -> SpecBatchPlan:
+    tables = build_tables(imgs[0])
+    pattern0 = imgs[0].mcu_block_pattern()
+    stride = chunk_bytes + SPEC_OVERLAP
+    firsts, lanes, blocks = [], [], []
+    total = 0
+    for img in imgs:
+        if img.mcu_block_pattern() != pattern0 or build_tables(img) != tables:
+            raise JpegError("fsm: batch mixes geometries or Huffman tables")
+        S = max(1, -(-img.scan_data.size // chunk_bytes))
+        firsts.append(total)
+        lanes.append(S)
+        blocks.append(img.n_mcus * img.blocks_per_mcu)
+        total += S
+    L = _round_up(total, 8)
+    xs = np.zeros((L, stride), np.uint8)
+    chunk_bits = np.zeros(L, np.int32)
+    is_first = np.zeros(L, bool)
+    for img, first, S in zip(imgs, firsts, lanes):
+        scan = img.scan_data
+        is_first[first] = True
+        for i in range(S):
+            part = scan[i * chunk_bytes : i * chunk_bytes + stride]
+            xs[first + i, : part.size] = part
+            chunk_bits[first + i] = (
+                min(chunk_bytes, scan.size - i * chunk_bytes) * 8
+            )
+    cap = 8
+    worst = max(
+        4 * (nb // S + 1) + 64 for nb, S in zip(blocks, lanes)
+    )
+    while cap < min(worst, MAX_BLOCKS_PER_LANE):
+        cap *= 2
+    return SpecBatchPlan(
+        xs=xs,
+        chunk_bits=chunk_bits,
+        is_first=is_first,
+        img_first=np.asarray(firsts, np.int32),
+        img_lanes=np.asarray(lanes, np.int32),
+        img_blocks=np.asarray(blocks, np.int64),
+        blk_cap=cap,
+        tables=tables,
+        chunk_bytes=chunk_bytes,
+        n_lanes=total,
+        bpm=imgs[0].blocks_per_mcu,
+    )
+
+
+def decode_speculative_batch(
+    imgs: list[JpegImage],
+    chunk_bytes: int = 2048,
+    max_iters: int | None = None,
+) -> list[np.ndarray]:
+    """Entropy-decode a batch of no-restart streams via speculative split.
+
+    The TPU rendition of the reference centerpiece (parser.cu:50-208) at
+    batch granularity: all images' equal-split chunks decode as lanes of
+    one matrix; the Jacobi boundary fixed point iterates on the WHOLE
+    batch at once (lane i's start <- lane i-1's end within each image;
+    each image's lane 0 is exact), so convergence costs one device
+    program + one host fetch per iteration for the batch, not per image.
+
+    Returns per-image int32 [n_blocks, 64] zigzag coefficients,
+    bit-identical to the oracle.  Raises JpegError on malformed streams
+    or non-convergence.
+    """
+    plan = build_spec_plan_batch(imgs, chunk_bytes)
+    T = plan.n_lanes
     L = plan.chunk_bits.shape[0]
     xs = jnp.asarray(plan.xs)
     cbits = jnp.asarray(plan.chunk_bits)
     max_start = (plan.chunk_bytes + SPEC_OVERLAP) * 8 - 1
+    # a padding/first lane never inherits a predecessor's end state
+    inherit = np.ones(L, bool)
+    inherit[: 1] = False
+    inherit[plan.img_first] = False
+    inherit[T:] = False
 
     start_bits = np.zeros(L, np.int32)
     start_bim = np.zeros(L, np.int32)
     blocks = None
-    for _ in range(max_iters or S + 1):
+    iters = max_iters or int(plan.img_lanes.max()) + 1
+    for _ in range(iters):
         eb, ebim, blk, err, _, _ = _count_jit(
             xs, cbits, jnp.asarray(start_bits), jnp.asarray(start_bim),
             tables=plan.tables, blk_cap=plan.blk_cap,
@@ -1121,8 +1208,12 @@ def decode_speculative(
         new_bits = start_bits.copy()
         new_bim = start_bim.copy()
         # lane i's start <- lane i-1's end, rebased into lane i's row
-        new_bits[1:S] = np.clip(eb[: S - 1] - plan.chunk_bytes * 8, 0, max_start)
-        new_bim[1:S] = ebim[: S - 1]
+        prev_bits = np.clip(
+            np.roll(eb, 1) - plan.chunk_bytes * 8, 0, max_start
+        )
+        prev_bim = np.roll(ebim, 1)
+        new_bits[inherit] = prev_bits[inherit]
+        new_bim[inherit] = prev_bim[inherit]
         if np.array_equal(new_bits, start_bits) and np.array_equal(
             new_bim, start_bim
         ):
@@ -1132,12 +1223,16 @@ def decode_speculative(
     if blocks is None:
         raise JpegError("speculative split did not converge")
 
-    quotas = blocks[:L].copy()
-    quotas[S:] = 0
-    last = plan.n_blocks_total - int(quotas[: S - 1].sum())
-    if last <= 0 or last > plan.blk_cap or np.any(quotas[: S - 1] >= plan.blk_cap):
-        raise JpegError("speculative split found inconsistent block counts")
-    quotas[S - 1] = last
+    quotas = np.asarray(blocks[:L], np.int32).copy()
+    quotas[T:] = 0
+    for first, S, nb in zip(plan.img_first, plan.img_lanes, plan.img_blocks):
+        body = quotas[first : first + S - 1]
+        last = int(nb) - int(body.sum())
+        if last <= 0 or last > plan.blk_cap or np.any(body >= plan.blk_cap):
+            raise JpegError(
+                "speculative split found inconsistent block counts"
+            )
+        quotas[first + S - 1] = last
 
     per_lane, (err_mal, err_env), _ = _decode_jit(
         xs, jnp.asarray(quotas),
@@ -1148,14 +1243,26 @@ def decode_speculative(
     if bool(jax.device_get(jnp.any(err_mal | err_env))):
         raise JpegError("speculative decode failed (malformed scan)")
     pl = np.asarray(jax.device_get(per_lane))
-    coeffs = np.concatenate([pl[i, : quotas[i]] for i in range(S)])
 
-    # Global DPCM: DC was emitted as differences; accumulate per component.
-    pattern = np.asarray(
-        [c for c in plan.tables.comp], np.int32
-    )
-    comp_seq = np.tile(pattern, plan.n_blocks_total // plan.bpm)
-    for c in range(plan.tables.n_comp):
-        m = comp_seq == c
-        coeffs[m, 0] = np.cumsum(coeffs[m, 0])
-    return coeffs
+    out: list[np.ndarray] = []
+    pattern = np.asarray([c for c in plan.tables.comp], np.int32)
+    for first, S, nb in zip(plan.img_first, plan.img_lanes, plan.img_blocks):
+        coeffs = np.concatenate(
+            [pl[first + i, : quotas[first + i]] for i in range(S)]
+        )
+        # Global DPCM: DC was emitted as differences; per-component cumsum.
+        comp_seq = np.tile(pattern, int(nb) // plan.bpm)
+        for c in range(plan.tables.n_comp):
+            m = comp_seq == c
+            coeffs[m, 0] = np.cumsum(coeffs[m, 0])
+        out.append(coeffs)
+    return out
+
+
+def decode_speculative(
+    img: JpegImage, chunk_bytes: int = 2048, max_iters: int | None = None
+) -> np.ndarray:
+    """Entropy-decode one no-restart stream on device via speculative
+    split (see decode_speculative_batch).  Returns int32 [n_blocks, 64]
+    zigzag coefficients, bit-identical to the oracle."""
+    return decode_speculative_batch([img], chunk_bytes, max_iters)[0]

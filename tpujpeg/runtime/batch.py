@@ -305,8 +305,10 @@ class BatchDecoder:
         B = self._pad_batch()
         coeffs = np.zeros((B, geom.n_blocks, 64), np.int32)
         try:
-            for bi, img in enumerate(chunk.imgs):
-                coeffs[bi] = fsm.decode_speculative(img)
+            # one Jacobi fixed point for the WHOLE chunk: each iteration
+            # costs one device program + one host fetch for all images
+            for bi, c in enumerate(fsm.decode_speculative_batch(chunk.imgs)):
+                coeffs[bi] = c
         except JpegError:
             return False
         fn = sharding.compiled_batch_decoder(geom, self.mesh, self.fancy)
