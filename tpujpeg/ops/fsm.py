@@ -1064,6 +1064,60 @@ def _count_jit(xs, chunk_bits, start_bits, start_bim, *, tables, blk_cap):
     return st[9], st[10], st[4], err_mal | err_env, st, events[0, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("tables", "blk_cap"))
+def _spec_converge_jit(
+    xs, chunk_bits, inherit, max_iters, *, tables, blk_cap
+):
+    """Run the Jacobi boundary fixed point ON DEVICE (lax.while_loop).
+
+    Each iteration is one count-mode FSM scan; lane i's next start is
+    lane i-1's end (rebased into lane i's row) wherever `inherit` holds.
+    Returns (start_bits, start_bim, blk, err, changed, iters, probe):
+    `changed` True means the loop hit `max_iters` without converging.
+    The host loop this replaces paid one device program + one fetch PER
+    iteration (~30 ms of tunnel latency each); this is one dispatch
+    total.  `probe` keeps every inner-scan carry live (the XLA:CPU
+    dead-carry miscompile note in _fsm_scan).
+    """
+    L = chunk_bits.shape[0]
+    stride = xs.shape[1]
+    chunk_bytes = stride - SPEC_OVERLAP
+    max_start = stride * 8 - 1
+    caps = jnp.full((L,), blk_cap, jnp.int32)
+    zero = jnp.zeros(L, jnp.int32)
+
+    def count(sb, sm):
+        _, (err_mal, err_env), st = _fsm_scan(
+            xs.T, caps, tables,
+            start_bits=sb, start_bim=sm, chunk_bits=chunk_bits,
+        )
+        probe = (
+            st[0] + st[1] + st[2] + st[3] + st[5]
+            + st[6].astype(jnp.int32)
+        )
+        return st[9], st[10], st[4], err_mal | err_env, probe
+
+    def body(c):
+        sb, sm, _, _, _, it, _ = c
+        eb, ebim, blk, err, probe = count(sb, sm)
+        nb = jnp.clip(jnp.roll(eb, 1) - chunk_bytes * 8, 0, max_start)
+        nm = jnp.roll(ebim, 1)
+        nb = jnp.where(inherit, nb, zero)
+        nm = jnp.where(inherit, nm, zero)
+        changed = jnp.any((nb != sb) | (nm != sm))
+        return (nb, nm, blk, err, changed, it + 1, probe)
+
+    def cond(c):
+        return c[4] & (c[5] < max_iters)
+
+    init = (zero, zero, zero, jnp.zeros(L, bool), jnp.bool_(True),
+            jnp.int32(0), zero)
+    sb, sm, blk, err, changed, it, probe = jax.lax.while_loop(
+        cond, body, init
+    )
+    return sb, sm, blk, err, changed, it, probe
+
+
 def build_spec_plan(img: JpegImage, chunk_bytes: int = 2048) -> SpecPlan:
     tables = build_tables(img)
     scan = img.scan_data
@@ -1186,41 +1240,27 @@ def decode_speculative_batch(
     L = plan.chunk_bits.shape[0]
     xs = jnp.asarray(plan.xs)
     cbits = jnp.asarray(plan.chunk_bits)
-    max_start = (plan.chunk_bytes + SPEC_OVERLAP) * 8 - 1
     # a padding/first lane never inherits a predecessor's end state
     inherit = np.ones(L, bool)
-    inherit[: 1] = False
     inherit[plan.img_first] = False
     inherit[T:] = False
 
-    start_bits = np.zeros(L, np.int32)
-    start_bim = np.zeros(L, np.int32)
-    blocks = None
     iters = max_iters or int(plan.img_lanes.max()) + 1
-    for _ in range(iters):
-        eb, ebim, blk, err, _, _ = _count_jit(
-            xs, cbits, jnp.asarray(start_bits), jnp.asarray(start_bim),
-            tables=plan.tables, blk_cap=plan.blk_cap,
+    sb, sm, blocks, err, changed, _, _ = _spec_converge_jit(
+        xs, cbits, jnp.asarray(inherit), jnp.int32(iters),
+        tables=plan.tables, blk_cap=plan.blk_cap,
+    )
+    fetched = np.asarray(
+        jax.device_get(
+            jnp.concatenate(
+                [sb, sm, blocks, changed.astype(jnp.int32)[None]]
+            )
         )
-        eb = np.asarray(jax.device_get(eb))
-        ebim = np.asarray(jax.device_get(ebim))
-        blk = np.asarray(jax.device_get(blk))
-        new_bits = start_bits.copy()
-        new_bim = start_bim.copy()
-        # lane i's start <- lane i-1's end, rebased into lane i's row
-        prev_bits = np.clip(
-            np.roll(eb, 1) - plan.chunk_bytes * 8, 0, max_start
-        )
-        prev_bim = np.roll(ebim, 1)
-        new_bits[inherit] = prev_bits[inherit]
-        new_bim[inherit] = prev_bim[inherit]
-        if np.array_equal(new_bits, start_bits) and np.array_equal(
-            new_bim, start_bim
-        ):
-            blocks = blk
-            break
-        start_bits, start_bim = new_bits, new_bim
-    if blocks is None:
+    )
+    start_bits = fetched[:L]
+    start_bim = fetched[L : 2 * L]
+    blocks = fetched[2 * L : 3 * L]
+    if fetched[-1]:
         raise JpegError("speculative split did not converge")
 
     quotas = np.asarray(blocks[:L], np.int32).copy()
