@@ -68,3 +68,23 @@ def test_spec_batch_one_bad_stream_raises():
     imgs[1].scan_data = imgs[1].scan_data[: imgs[1].scan_data.size // 2].copy()
     with pytest.raises(JpegError):
         fsm.decode_speculative_batch(imgs, chunk_bytes=CHUNK)
+
+
+def test_spec_batch_device_out_matches_host():
+    import jax
+
+    imgs = [
+        parse(make_jpeg(shape=(64, 80), quality=88, seed=s)) for s in (3, 4)
+    ]
+    host = fsm.decode_speculative_batch(imgs, chunk_bytes=CHUNK)
+    dev = np.asarray(
+        jax.device_get(
+            fsm.decode_speculative_batch(
+                imgs, chunk_bytes=CHUNK, device_out=True, pad_to=3
+            )
+        )
+    )
+    assert dev.shape[0] == 3
+    for bi, h in enumerate(host):
+        np.testing.assert_array_equal(dev[bi], h)
+    assert not dev[2].any()  # padding rows are zero

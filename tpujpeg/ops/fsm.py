@@ -1217,11 +1217,31 @@ def build_spec_plan_batch(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("tables", "pad_to"))
+def _spec_gather_jit(per_lane, idx, *, tables, pad_to):
+    """Trim lane rows to quotas (one row gather) + resolve DC on device."""
+    L, cap, _ = per_lane.shape
+    flat = per_lane.reshape(L * cap, 64)
+    coeffs = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+        idx.shape + (64,)
+    )
+    dc = _dc_cumsum(coeffs[:, :, 0], tables, idx.shape[1])
+    coeffs = jnp.concatenate([dc[:, :, None], coeffs[:, :, 1:]], axis=2)
+    if pad_to > coeffs.shape[0]:
+        pad = jnp.zeros(
+            (pad_to - coeffs.shape[0],) + coeffs.shape[1:], coeffs.dtype
+        )
+        coeffs = jnp.concatenate([coeffs, pad])
+    return coeffs
+
+
 def decode_speculative_batch(
     imgs: list[JpegImage],
     chunk_bytes: int = 2048,
     max_iters: int | None = None,
-) -> list[np.ndarray]:
+    device_out: bool = False,
+    pad_to: int | None = None,
+):
     """Entropy-decode a batch of no-restart streams via speculative split.
 
     The TPU rendition of the reference centerpiece (parser.cu:50-208) at
@@ -1234,6 +1254,13 @@ def decode_speculative_batch(
     Returns per-image int32 [n_blocks, 64] zigzag coefficients,
     bit-identical to the oracle.  Raises JpegError on malformed streams
     or non-convergence.
+
+    device_out=True (uniform-geometry batches only) skips the host
+    round-trip of the dense tensor: lane rows are trimmed to their block
+    quotas by ONE device row-gather (indices built host-side from the
+    fetched quotas, a ~1/64th-sized upload) and DC is resolved by the
+    per-image cumsum on device — the return is a device array
+    [pad_to or B, n_blocks, 64] ready for the pixel program.
     """
     plan = build_spec_plan_batch(imgs, chunk_bytes)
     T = plan.n_lanes
@@ -1282,6 +1309,28 @@ def decode_speculative_batch(
     )
     if bool(jax.device_get(jnp.any(err_mal | err_env))):
         raise JpegError("speculative decode failed (malformed scan)")
+
+    if device_out:
+        nbs = set(int(nb) for nb in plan.img_blocks)
+        if len(nbs) != 1:
+            raise JpegError("device_out requires a uniform-geometry batch")
+        nb = nbs.pop()
+        idx = np.empty((len(imgs), nb), np.int32)
+        for bi, (first, S) in enumerate(zip(plan.img_first, plan.img_lanes)):
+            q = quotas[first : first + S]
+            lanes = np.repeat(
+                np.arange(first, first + S, dtype=np.int32), q
+            )
+            within = np.arange(nb, dtype=np.int32) - np.repeat(
+                np.concatenate([[0], np.cumsum(q[:-1])]).astype(np.int32), q
+            )
+            idx[bi] = lanes * plan.blk_cap + within
+        coeffs = _spec_gather_jit(
+            per_lane, jax.device_put(jnp.asarray(idx)), tables=plan.tables,
+            pad_to=pad_to or len(imgs),
+        )
+        return coeffs
+
     pl = np.asarray(jax.device_get(per_lane))
 
     out: list[np.ndarray] = []

@@ -303,17 +303,19 @@ class BatchDecoder:
 
         geom = chunk.geom
         B = self._pad_batch()
-        coeffs = np.zeros((B, geom.n_blocks, 64), np.int32)
         try:
-            # one Jacobi fixed point for the WHOLE chunk: each iteration
-            # costs one device program + one host fetch for all images
-            for bi, c in enumerate(fsm.decode_speculative_batch(chunk.imgs)):
-                coeffs[bi] = c
+            # one Jacobi fixed point for the WHOLE chunk (a single device
+            # dispatch + fetch), then the dense tensor stays on device:
+            # lane rows are trimmed to their quotas by one row gather and
+            # DC resolves with the per-image cumsum
+            coeffs_dev = fsm.decode_speculative_batch(
+                chunk.imgs, device_out=True, pad_to=B
+            )
         except JpegError:
             return False
         fn = sharding.compiled_batch_decoder(geom, self.mesh, self.fancy)
-        chunk.out = fn(jnp.asarray(coeffs), jnp.asarray(self._quant_block(chunk, B)))
-        chunk.coeffs = coeffs
+        chunk.out = fn(coeffs_dev, jnp.asarray(self._quant_block(chunk, B)))
+        chunk.coeffs_dev = coeffs_dev
         chunk.backend = "fsm-spec"
         return True
 
