@@ -1301,9 +1301,17 @@ def decode_speculative_batch(
             )
         quotas[first + S - 1] = last
 
+    # The counting cap carries 4x-average headroom (a 2 KB window of
+    # near-empty blocks); after convergence the true per-lane maximum is
+    # known, so the write pass sizes its dense tensor to it (pow2 bucket
+    # to bound compiles) — typically 2-4x smaller butterflies.
+    cap_w = 16
+    while cap_w < int(quotas.max(initial=1)):
+        cap_w *= 2
+    cap_w = min(cap_w, plan.blk_cap)
     per_lane, (err_mal, err_env), _ = _decode_jit(
         xs, jnp.asarray(quotas),
-        tables=plan.tables, max_blk=plan.blk_cap,
+        tables=plan.tables, max_blk=cap_w,
         start_bits=jnp.asarray(start_bits), start_bim=jnp.asarray(start_bim),
         dc_diff=True,
     )
@@ -1324,7 +1332,7 @@ def decode_speculative_batch(
             within = np.arange(nb, dtype=np.int32) - np.repeat(
                 np.concatenate([[0], np.cumsum(q[:-1])]).astype(np.int32), q
             )
-            idx[bi] = lanes * plan.blk_cap + within
+            idx[bi] = lanes * cap_w + within
         coeffs = _spec_gather_jit(
             per_lane, jax.device_put(jnp.asarray(idx)), tables=plan.tables,
             pad_to=pad_to or len(imgs),
