@@ -125,6 +125,7 @@ def main():
         import jax.numpy as jnp
         import numpy as np_
 
+        from tpujpeg.errors import JpegError
         from tpujpeg.ops import fsm
         from tpujpeg.runtime import fused
         from tpujpeg.pipeline import Geometry
@@ -141,9 +142,6 @@ def main():
         chunks = []
         for j in range(0, len(imgs), args.chunk):
             part = imgs[j : j + args.chunk]
-            # scan bytes are device-resident in this methodology, so pack
-            # for minimum device time (one group, one scan dispatch)
-            plan = fsm.build_plan(part, split=False)
             quant = np.stack(
                 [
                     np.stack(
@@ -155,18 +153,45 @@ def main():
             if len(part) < args.chunk:
                 pad = np.zeros((args.chunk - len(part),) + quant.shape[1:], np.int32)
                 quant = np.concatenate([quant, pad])
-            xs, sn = plan.groups[0]
-            uploaded = (
-                jax.device_put(jnp.asarray(xs)),
-                jax.device_put(jnp.asarray(sn)),
-            )
+            try:
+                # scan bytes are device-resident in this methodology, so
+                # pack for minimum device time (one group, one scan
+                # dispatch)
+                plan = fsm.build_plan(part, split=False)
+                xs, sn = plan.groups[0]
+                uploaded = (
+                    jax.device_put(jnp.asarray(xs)),
+                    jax.device_put(jnp.asarray(sn)),
+                )
+            except JpegError:
+                # outside the restart-lane envelope (e.g. --rst-rows 0):
+                # the speculative equal-split path, scan bytes pre-staged
+                splan = fsm.build_spec_plan_batch(part)
+                uploaded = (jax.device_put(jnp.asarray(splan.xs)), None)
+                plan = splan
             chunks.append(
-                (uploaded, jax.device_put(jnp.asarray(quant)), plan)
+                (uploaded, jax.device_put(jnp.asarray(quant)), plan, part)
             )
+
+        from tpujpeg.parallel import sharding as _sharding
+
+        pixel_fn = _sharding.compiled_batch_decoder(
+            geom, _sharding.make_mesh(n_stripe=1)
+        )
 
         def run_device():
             fences = []
-            for uploaded, q_d, plan in chunks:
+            for uploaded, q_d, plan, part in chunks:
+                if isinstance(plan, fsm.SpecBatchPlan):
+                    # no-restart streams: batched speculative decode
+                    # (device-resident), then the pixel program
+                    coeffs = fsm.decode_speculative_batch(
+                        part, device_out=True, pad_to=args.chunk,
+                        plan=plan, xs_dev=uploaded[0],
+                    )
+                    rgb, _risk, _tot = pixel_fn(coeffs, q_d)
+                    fences.append(rgb[0, 0, 0, 0].astype(jnp.int32))
+                    continue
                 # ONE program per chunk (runtime/fused.py): FSM + butterfly
                 # materialization + assemble + pixel stages fused
                 rgb, _risk, _c, _dc, err_mal, err_env, _st = (

@@ -1241,6 +1241,8 @@ def decode_speculative_batch(
     max_iters: int | None = None,
     device_out: bool = False,
     pad_to: int | None = None,
+    plan: SpecBatchPlan | None = None,
+    xs_dev=None,
 ):
     """Entropy-decode a batch of no-restart streams via speculative split.
 
@@ -1262,10 +1264,11 @@ def decode_speculative_batch(
     per-image cumsum on device — the return is a device array
     [pad_to or B, n_blocks, 64] ready for the pixel program.
     """
-    plan = build_spec_plan_batch(imgs, chunk_bytes)
+    if plan is None:
+        plan = build_spec_plan_batch(imgs, chunk_bytes)
     T = plan.n_lanes
     L = plan.chunk_bits.shape[0]
-    xs = jnp.asarray(plan.xs)
+    xs = xs_dev if xs_dev is not None else jnp.asarray(plan.xs)
     cbits = jnp.asarray(plan.chunk_bits)
     # a padding/first lane never inherits a predecessor's end state
     inherit = np.ones(L, bool)
