@@ -1053,18 +1053,6 @@ class SpecPlan:
 
 
 @functools.partial(jax.jit, static_argnames=("tables", "blk_cap"))
-def _count_jit(xs, chunk_bits, start_bits, start_bim, *, tables, blk_cap):
-    caps = jnp.full(chunk_bits.shape, blk_cap, jnp.int32)
-    events, (err_mal, err_env), st = _fsm_scan(
-        xs.T, caps, tables,  # [L, stride] -> scan layout, on device
-        start_bits=start_bits, start_bim=start_bim, chunk_bits=chunk_bits,
-    )
-    # end_bits/end_bim/blk: st[9], st[10], st[4].  Full state surfaced to
-    # keep every scan carry live (see the XLA:CPU note in _fsm_scan).
-    return st[9], st[10], st[4], err_mal | err_env, st, events[0, 0]
-
-
-@functools.partial(jax.jit, static_argnames=("tables", "blk_cap"))
 def _spec_converge_jit(
     xs, chunk_bits, inherit, max_iters, *, tables, blk_cap
 ):
