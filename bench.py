@@ -185,12 +185,17 @@ def main():
                 if isinstance(plan, fsm.SpecBatchPlan):
                     # no-restart streams: batched speculative decode
                     # (device-resident), then the pixel program
-                    coeffs = fsm.decode_speculative_batch(
+                    coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
                         part, device_out=True, pad_to=args.chunk,
                         plan=plan, xs_dev=uploaded[0],
                     )
                     rgb, _risk, _tot = pixel_fn(coeffs, q_d)
-                    fences.append(rgb[0, 0, 0, 0].astype(jnp.int32))
+                    bad = (jnp.any(err_mal) | jnp.any(err_env)).astype(
+                        jnp.int32
+                    )
+                    fences.append(
+                        rgb[0, 0, 0, 0].astype(jnp.int32) + (bad << 24)
+                    )
                     continue
                 # ONE program per chunk (runtime/fused.py): FSM + butterfly
                 # materialization + assemble + pixel stages fused

@@ -77,13 +77,11 @@ def test_spec_batch_device_out_matches_host():
         parse(make_jpeg(shape=(64, 80), quality=88, seed=s)) for s in (3, 4)
     ]
     host = fsm.decode_speculative_batch(imgs, chunk_bytes=CHUNK)
-    dev = np.asarray(
-        jax.device_get(
-            fsm.decode_speculative_batch(
-                imgs, chunk_bytes=CHUNK, device_out=True, pad_to=3
-            )
-        )
+    coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
+        imgs, chunk_bytes=CHUNK, device_out=True, pad_to=3
     )
+    assert not bool(jax.device_get((err_mal | err_env).any()))
+    dev = np.asarray(jax.device_get(coeffs))
     assert dev.shape[0] == 3
     for bi, h in enumerate(host):
         np.testing.assert_array_equal(dev[bi], h)

@@ -1306,7 +1306,9 @@ def decode_speculative_batch(
         start_bits=jnp.asarray(start_bits), start_bim=jnp.asarray(start_bim),
         dc_diff=True,
     )
-    if bool(jax.device_get(jnp.any(err_mal | err_env))):
+    if not device_out and bool(
+        jax.device_get(jnp.any(err_mal | err_env))
+    ):
         raise JpegError("speculative decode failed (malformed scan)")
 
     if device_out:
@@ -1328,7 +1330,10 @@ def decode_speculative_batch(
             per_lane, jax.device_put(jnp.asarray(idx)), tables=plan.tables,
             pad_to=pad_to or len(imgs),
         )
-        return coeffs
+        # error masks stay ON DEVICE: callers fold them into their chunk
+        # fence (one combined host round-trip) instead of paying a ~30 ms
+        # tunnel fetch here
+        return coeffs, (err_mal, err_env)
 
     pl = np.asarray(jax.device_get(per_lane))
 

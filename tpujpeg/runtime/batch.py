@@ -308,7 +308,7 @@ class BatchDecoder:
             # dispatch + fetch), then the dense tensor stays on device:
             # lane rows are trimmed to their quotas by one row gather and
             # DC resolves with the per-image cumsum
-            coeffs_dev = fsm.decode_speculative_batch(
+            coeffs_dev, (err_mal, err_env) = fsm.decode_speculative_batch(
                 chunk.imgs, device_out=True, pad_to=B
             )
         except JpegError:
@@ -316,6 +316,11 @@ class BatchDecoder:
         fn = sharding.compiled_batch_decoder(geom, self.mesh, self.fancy)
         chunk.out = fn(coeffs_dev, jnp.asarray(self._quant_block(chunk, B)))
         chunk.coeffs_dev = coeffs_dev
+        chunk.err_mal = err_mal
+        chunk.err_env = err_env
+        # write-pass errors ride the fence (one combined round-trip); a
+        # latched lane falls back to the host decoder in _finish
+        chunk.fence = _pack_fence(chunk.out[0], err_mal, err_env)
         chunk.backend = "fsm-spec"
         return True
 
