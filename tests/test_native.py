@@ -138,12 +138,12 @@ def _numpy_destuff(sub):
     """Run destuff_scan's NumPy tail with the native fast path disabled."""
     from tpujpeg.io import destuff as D
 
-    old = D._native
-    D._native = None
+    old = D._native, D._native_checked
+    D._native, D._native_checked = None, True
     try:
         return D.destuff_scan(sub, 0)
     finally:
-        D._native = old
+        D._native, D._native_checked = old
 
 
 def _edge_streams():
@@ -185,13 +185,13 @@ def test_native_destuff_matches_numpy_real_scans(native):
         from tpujpeg.io.parser import parse as _parse
         from tpujpeg.io import destuff as D
 
-        old = D._native
+        old = D._native, D._native_checked
         try:
-            D._native = native
+            D._native, D._native_checked = native, True
             img_n = _parse(data)
             D._native = None
             img_p = _parse(data)
         finally:
-            D._native = old
+            D._native, D._native_checked = old
         assert np.array_equal(img_n.scan_data, img_p.scan_data)
         assert np.array_equal(img_n.segment_offsets, img_p.segment_offsets)

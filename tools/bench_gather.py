@@ -87,10 +87,10 @@ def main():
     timed("XLA take, 2560 rows x 64KiB (lane permutation)",
           lambda: rowtake(rows, perm), 2560)
 
-    # medium-row gather (the fsm-spec ragged-assemble shape): 1.2M rows
+    # medium-row gather (the fsm-spec ragged-assemble shape): 2^20 rows
     # of 64 int32 (256 B) — decides whether spec coefficients can stay
     # on device via an index gather instead of a host round-trip
-    rows64 = jnp.asarray(rng.integers(-1000, 1000, (1 << 20 + 0, 64), np.int32))
+    rows64 = jnp.asarray(rng.integers(-1000, 1000, (1 << 20, 64), np.int32))
     perm64 = jnp.asarray(rng.permutation(rows64.shape[0]).astype(np.int32))
     timed("XLA take, 1M rows x 256 B (spec assemble)",
           lambda: rowtake(rows64, perm64), rows64.shape[0])

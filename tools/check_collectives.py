@@ -90,7 +90,6 @@ def main() -> int:
     # -- stripe path: halo exchange + output gather --------------------------
     mesh_s = sharding.make_mesh(n_batch=1, n_stripe=ndev)
     full = Geometry((256, 8 * 2 * ndev, 256 // 8, 2 * ndev, geom.comps))
-    geom_s = sharding.stripe_geometry(full, ndev)
     fn_s = sharding.compiled_stripe_decoder(full, mesh_s, fancy=True)
     coeffs_s = jnp.zeros((full.n_blocks, 64), jnp.int32)
     quant_s = jnp.zeros((len(full.comps), 64), jnp.int32)
@@ -102,6 +101,11 @@ def main() -> int:
         not c1                       # entropy decode: zero collectives
         and set(c2) <= {"all-reduce"}  # metrics psum only
         and c2.get("all-reduce", 0) <= 1
+        # stripes: the two output all_gathers (rgb, risk) plus at most
+        # the chroma-halo exchanges (XLA may fold them into the gathers)
+        and set(c3) <= {"all-gather", "collective-permute"}
+        and c3.get("all-gather", 0) == 2
+        and c3.get("collective-permute", 0) <= 2
     )
     print("CLAIM HOLDS" if ok else "CLAIM VIOLATED")
     return 0 if ok else 1

@@ -1144,7 +1144,6 @@ class SpecBatchPlan:
 
     xs: np.ndarray            # uint8 [L, chunk+overlap]
     chunk_bits: np.ndarray    # int32 [L]
-    is_first: np.ndarray      # bool [L] lane 0 of its image (exact start)
     img_first: np.ndarray     # int32 [n_imgs]
     img_lanes: np.ndarray     # int32 [n_imgs]
     img_blocks: np.ndarray    # int64 [n_imgs]
@@ -1174,10 +1173,8 @@ def build_spec_plan_batch(
     L = _round_up(total, 8)
     xs = np.zeros((L, stride), np.uint8)
     chunk_bits = np.zeros(L, np.int32)
-    is_first = np.zeros(L, bool)
     for img, first, S in zip(imgs, firsts, lanes):
         scan = img.scan_data
-        is_first[first] = True
         for i in range(S):
             part = scan[i * chunk_bytes : i * chunk_bytes + stride]
             xs[first + i, : part.size] = part
@@ -1193,7 +1190,6 @@ def build_spec_plan_batch(
     return SpecBatchPlan(
         xs=xs,
         chunk_bits=chunk_bits,
-        is_first=is_first,
         img_first=np.asarray(firsts, np.int32),
         img_lanes=np.asarray(lanes, np.int32),
         img_blocks=np.asarray(blocks, np.int64),
@@ -1254,6 +1250,10 @@ def decode_speculative_batch(
     """
     if plan is None:
         plan = build_spec_plan_batch(imgs, chunk_bytes)
+    if device_out and len(set(int(nb) for nb in plan.img_blocks)) != 1:
+        # checked BEFORE the device passes: a mixed-geometry batch must
+        # not pay the fixed point + write pass just to raise
+        raise JpegError("device_out requires a uniform-geometry batch")
     T = plan.n_lanes
     L = plan.chunk_bits.shape[0]
     xs = xs_dev if xs_dev is not None else jnp.asarray(plan.xs)
@@ -1312,10 +1312,7 @@ def decode_speculative_batch(
         raise JpegError("speculative decode failed (malformed scan)")
 
     if device_out:
-        nbs = set(int(nb) for nb in plan.img_blocks)
-        if len(nbs) != 1:
-            raise JpegError("device_out requires a uniform-geometry batch")
-        nb = nbs.pop()
+        nb = int(plan.img_blocks[0])
         idx = np.empty((len(imgs), nb), np.int32)
         for bi, (first, S) in enumerate(zip(plan.img_first, plan.img_lanes)):
             q = quotas[first : first + S]

@@ -50,6 +50,11 @@ from ..parallel import sharding
 # Host->device bandwidth below which uploading dense coefficients (≈6x the
 # compressed bytes as int16) loses to uploading scan bytes + device FSM.
 _LINK_MBPS_FSM_THRESHOLD = 200.0
+
+# How many chunks may be prepared (plan packed + scan bytes staged on
+# device) ahead of the dispatch loop: enough to hide build_plan + upload
+# behind device time without holding every chunk's lane matrix live.
+_PREP_AHEAD = 3
 _link_mbps_cache: float | None = None
 
 
@@ -498,14 +503,23 @@ class BatchDecoder:
         isolate = on_error == "skip"
         chunks = self._make_chunks(imgs)
 
-        if self._prefers_fsm():
+        prep = self._prefers_fsm()
+        if prep:
             measured_link_mbps()  # probe once before pool threads race it
-            for chunk in chunks:
+            for chunk in chunks[:_PREP_AHEAD]:
                 chunk.plan_future = self.prep_pool.submit(
                     self._prepare_chunk_fsm, chunk
                 )
         t_ent = 0.0
-        for chunk in chunks:
+        for i, chunk in enumerate(chunks):
+            # rolling window: submitting all prepares up front would stage
+            # every chunk's scan bytes on device at once; this bounds the
+            # lead (and the staged memory) to _PREP_AHEAD chunks
+            if prep and i + _PREP_AHEAD < len(chunks):
+                nxt = chunks[i + _PREP_AHEAD]
+                nxt.plan_future = self.prep_pool.submit(
+                    self._prepare_chunk_fsm, nxt
+                )
             t0 = time.perf_counter()
             # async device dispatch: chunk n's device stages overlap chunk
             # n+1's host work (plans + uploads prepared on the pool above)
@@ -647,6 +661,14 @@ class BatchDecoder:
         def drain(block: bool) -> None:
             nonlocal t_ent
             while pending:
+                if prep:
+                    # rolling window: bound the staged lead (and device
+                    # memory) to _PREP_AHEAD prepared chunks
+                    for c in pending[:_PREP_AHEAD]:
+                        if c.plan_future is None and c.plan is None:
+                            c.plan_future = self.prep_pool.submit(
+                                self._prepare_chunk_fsm, c
+                            )
                 c = pending[0]
                 if (
                     not block
@@ -663,10 +685,6 @@ class BatchDecoder:
             chunk = _Chunk(geom, list(idxs), list(ims))
             idxs.clear()
             ims.clear()
-            if prep:
-                chunk.plan_future = self.prep_pool.submit(
-                    self._prepare_chunk_fsm, chunk
-                )
             pending.append(chunk)
             drain(block=False)
             chunks.append(chunk)
