@@ -201,3 +201,17 @@ def test_fsm_grouped_stride_packing():
     assert not (np.asarray(mal).any() or np.asarray(env).any())
     got = fsm.assemble(np.asarray(per_lane), plan1.layout)
     np.testing.assert_array_equal(got, oracle_batch(imgs))
+
+
+def test_symmap_matches_piece_tree(monkeypatch):
+    # the two-level symbol map (TPUJPEG_SYMMAP) must decode bit-identically
+    # to the production piece tree
+    monkeypatch.setattr(fsm, "_SYMMAP", True)
+    monkeypatch.setattr(fsm, "_tables_cache", {})
+    img = parse(make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=11))
+    t = fsm.build_tables(img)
+    assert t.len_keys is not None and len(t.len_keys) < len(t.piece_keys)
+    got = fsm.entropy_decode_fsm([img])
+    from tpujpeg.oracle import decoder as oracle
+
+    np.testing.assert_array_equal(got, oracle.entropy_decode(img))

@@ -55,6 +55,7 @@ back to the host decoder on either, but report them differently.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -152,6 +153,16 @@ class FsmTables:
     tsel: tuple
     comp: tuple
     n_comp: int
+    # Two-level symbol map (TPUJPEG_SYMMAP=1): a per-(table, length)
+    # tree — ~49 leaves instead of ~130 — whose leaf packs
+    # (length << 18 | adj + 0x20000) with g = code + adj a GLOBAL
+    # canonical symbol index, plus symtab ([H][16] nibble grid) looked up
+    # by an MXU one-hot bilinear.  Exhaustively bit-identical to the
+    # piece tree (tools/bench_symbol_map.py); opt-in pending a real-chip
+    # verdict on MXU-in-scan overhead.  None when the flag is off.
+    len_keys: tuple = None
+    len_vals: tuple = None
+    symtab: tuple = None
 
 
 def _table_pieces(table: HuffmanTable, tbl_id: int):
@@ -185,7 +196,51 @@ def _table_pieces(table: HuffmanTable, tbl_id: int):
     return keyed
 
 
+def _length_map(by_tbl: dict):
+    """Per-(table, length) pieces + the global nibble symbol grid.
+
+    Leaf value packs (length << 18) | (adj + 0x20000) with
+    g = (peek >> (16 - length)) + adj a global canonical symbol index;
+    symtab[g >> 4][g & 15] is the symbol byte (row-padded with zeros).
+    Exhaustively bit-identical to the piece tree
+    (tools/bench_symbol_map.py, tests/test_fsm.py::test_symmap_*).
+    """
+    keys, vals, flat = [], [], []
+    for tbl in sorted(by_tbl):
+        table = by_tbl[tbl]
+        counts = np.asarray(table.counts, np.int64)
+        symbols = np.asarray(table.symbols, np.int64)
+        code = 0
+        k = 0
+        cover_end = 0
+        for length in range(1, 17):
+            n = int(counts[length - 1])
+            if n:
+                adj = len(flat) - code  # g = code + adj
+                keys.append((tbl << 16) | (code << (16 - length)))
+                vals.append((length << 18) | (adj + 0x20000))
+                flat.extend(int(x) for x in symbols[k : k + n])
+                k += n
+                code += n
+                cover_end = code << (16 - length)
+            code <<= 1
+        if cover_end < (1 << 16):
+            keys.append((tbl << 16) | cover_end)
+            vals.append((INVALID_LEN << 18) | 0x20000)
+    H = -(-len(flat) // 16)
+    grid = np.zeros((H, 16), np.int64)
+    grid.reshape(-1)[: len(flat)] = flat
+    return (
+        tuple(keys),
+        tuple(vals),
+        tuple(tuple(int(v) for v in row) for row in grid),
+    )
+
+
 _tables_cache: dict = {}
+
+
+_SYMMAP = os.environ.get("TPUJPEG_SYMMAP") == "1"
 
 
 def _tables_key(img: JpegImage) -> tuple:
@@ -195,6 +250,7 @@ def _tables_key(img: JpegImage) -> tuple:
             for h, t in sorted(img.huffman.items())
         ),
         tuple((c.dc_table_id, c.ac_table_id, c.h, c.v) for c in img.components),
+        _SYMMAP,
     )
 
 
@@ -238,6 +294,7 @@ def _build_tables_uncached(img: JpegImage) -> FsmTables:
             set_of[c.dc_table_id] = len(set_of)
 
     pieces: list[tuple[int, int]] = []
+    by_tbl: dict[int, HuffmanTable] = {}
     eob_len = [0, 0]
     eob_code = [0, 0]
     dc0_len = [0, 0]
@@ -253,6 +310,7 @@ def _build_tables_uncached(img: JpegImage) -> FsmTables:
             raise JpegError("fsm: AC size symbol > 10 overflows packed event")
         for is_ac, table in ((0, dc), (1, ac)):
             pieces.extend(_table_pieces(table, is_ac * 2 + s))
+            by_tbl[is_ac * 2 + s] = table
         eob_len[s] = int(ac.lengths[0])
         eob_code[s] = int(ac.codes[0])
         dc0_len[s] = int(dc.lengths[0])
@@ -260,6 +318,10 @@ def _build_tables_uncached(img: JpegImage) -> FsmTables:
     pieces.sort()
     if len(pieces) > MAX_PIECES:
         raise JpegError("fsm: Huffman tables too irregular")
+
+    len_keys = len_vals = symtab = None
+    if _SYMMAP:
+        len_keys, len_vals, symtab = _length_map(by_tbl)
 
     tsel = []
     comp = []
@@ -277,6 +339,9 @@ def _build_tables_uncached(img: JpegImage) -> FsmTables:
         tsel=tuple(tsel),
         comp=tuple(comp),
         n_comp=len(img.components),
+        len_keys=len_keys,
+        len_vals=len_vals,
+        symtab=symtab,
     )
 
 
@@ -567,12 +632,35 @@ def _fsm_scan(
         is_dc = k == 0
         tsel = _index_tree(bim, tsel_list)
         tbl = jnp.where(is_dc, tsel, tsel + 2)
-        packed = _bst_tree((tbl << 16) | peek, tables.piece_keys,
-                           tables.piece_vals)
-        length = packed >> 17
-        base = (packed & 0x1FFFF) - 0x10000
-        code = peek >> jnp.clip(16 - length, 0, 16)
-        sym = (base + code) & 0xFF
+        if tables.len_keys is not None:
+            # two-level map: per-(table, length) tree (~2.7x fewer
+            # leaves), then the symbol via an MXU one-hot bilinear over
+            # the nibble grid (FsmTables docstring; opt-in TPUJPEG_SYMMAP)
+            packed = _bst_tree((tbl << 16) | peek, tables.len_keys,
+                               tables.len_vals)
+            length = packed >> 18
+            adj = (packed & 0x3FFFF) - 0x20000
+            code = peek >> jnp.clip(16 - length, 0, 16)
+            g = jnp.where(length <= 16, code + adj, 0)
+            Hn = len(tables.symtab)
+            grid = jnp.asarray(tables.symtab, jnp.bfloat16)
+            oh_hi = (
+                (g[:, None] >> 4) == jnp.arange(Hn, dtype=jnp.int32)[None, :]
+            ).astype(jnp.bfloat16)
+            row = oh_hi @ grid                              # [L, 16] MXU
+            oh_lo = (
+                (g[:, None] & 15) == jnp.arange(16, dtype=jnp.int32)[None, :]
+            )
+            sym = jnp.sum(
+                jnp.where(oh_lo, row, 0), axis=1
+            ).astype(jnp.int32)
+        else:
+            packed = _bst_tree((tbl << 16) | peek, tables.piece_keys,
+                               tables.piece_vals)
+            length = packed >> 17
+            base = (packed & 0x1FFFF) - 0x10000
+            code = peek >> jnp.clip(16 - length, 0, 16)
+            sym = (base + code) & 0xFF
         size = sym & 15
         run = sym >> 4
 
