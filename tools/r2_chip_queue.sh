@@ -36,7 +36,11 @@ TMO=1800 run prof_kc2 env TPUJPEG_PALLAS_KC=2 \
 TMO=1800 run prof_kc4 env TPUJPEG_PALLAS_KC=4 \
     python -u tools/profile_decode.py --images 64 --no-split --iters 3
 
-# 5. headline re-measure (host pipeline + 16-block max_blk landed since 210.5)
+# 5. integrated two-level symbol map A/B at the production shape
+TMO=1800 run prof_symmap env TPUJPEG_SYMMAP=1 \
+    python -u tools/profile_decode.py --images 64 --no-split --iters 3
+
+# 6. headline re-measure (host pipeline + 16-block max_blk landed since 210.5)
 TMO=3600 run bench python -u bench.py
 
 echo "ALL DONE -> $OUT"
