@@ -18,6 +18,7 @@ device decoder want.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -112,6 +113,10 @@ class HuffmanTable:
 
 
 _dht_cache: dict[bytes, dict[int, "HuffmanTable"]] = {}
+# BatchDecoder's parse pool hits this cache from several threads; the lock
+# keeps insert-after-build atomic (CPython dict ops are atomic, but the
+# check-then-insert pair is not, and cached tables are shared objects).
+_dht_lock = threading.Lock()
 
 
 def parse_dht_payload(payload: bytes | np.ndarray) -> dict[int, HuffmanTable]:
@@ -128,7 +133,8 @@ def parse_dht_payload(payload: bytes | np.ndarray) -> dict[int, HuffmanTable]:
     of the mapping.
     """
     key = bytes(payload)
-    hit = _dht_cache.get(key)
+    with _dht_lock:
+        hit = _dht_cache.get(key)
     if hit is not None:
         return dict(hit)
     data = np.frombuffer(bytes(payload), dtype=np.uint8)
@@ -153,6 +159,7 @@ def parse_dht_payload(payload: bytes | np.ndarray) -> dict[int, HuffmanTable]:
             raise ValueError("DC Huffman table defines size symbols > 15")
         tables[header] = HuffmanTable(counts=counts, symbols=symbols)
         pos += 17 + n
-    if len(_dht_cache) < 256:
-        _dht_cache[key] = dict(tables)
+    with _dht_lock:
+        if len(_dht_cache) < 256:
+            _dht_cache[key] = dict(tables)
     return tables

@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -238,6 +239,8 @@ def _length_map(by_tbl: dict):
 
 
 _tables_cache: dict = {}
+# written from BatchDecoder's thread pools; lock the check-then-insert pair
+_tables_lock = threading.Lock()
 
 
 _SYMMAP = os.environ.get("TPUJPEG_SYMMAP") == "1"
@@ -265,7 +268,8 @@ def build_tables(img: JpegImage) -> FsmTables:
     host cost at batch scale.
     """
     key = _tables_key(img)
-    hit = _tables_cache.get(key)
+    with _tables_lock:
+        hit = _tables_cache.get(key)
     if hit is not None:
         if isinstance(hit, JpegError):
             raise hit
@@ -273,11 +277,13 @@ def build_tables(img: JpegImage) -> FsmTables:
     try:
         tables = _build_tables_uncached(img)
     except JpegError as e:
-        if len(_tables_cache) < 256:
-            _tables_cache[key] = e
+        with _tables_lock:
+            if len(_tables_cache) < 256:
+                _tables_cache[key] = e
         raise
-    if len(_tables_cache) < 256:
-        _tables_cache[key] = tables
+    with _tables_lock:
+        if len(_tables_cache) < 256:
+            _tables_cache[key] = tables
     return tables
 
 
@@ -1128,6 +1134,13 @@ def entropy_decode_fsm(imgs: list[JpegImage]) -> np.ndarray:
 SPEC_OVERLAP = 384  # bytes a block may straddle past its chunk (max ~213)
 
 
+class SpecEnvelopeError(JpegError):
+    """Speculative count pass latched envelope lanes: the stream is denser
+    than the current symbol-step budget.  Distinct from plain JpegError so
+    the batch engine can retry ON DEVICE at STEPS_SAFE instead of falling
+    straight back to the host decoder (the restart path already does)."""
+
+
 @dataclass(frozen=True)
 class SpecPlan:
     xs: np.ndarray           # uint8 [chunk+overlap, S]
@@ -1140,16 +1153,20 @@ class SpecPlan:
     bpm: int
 
 
-@functools.partial(jax.jit, static_argnames=("tables", "blk_cap"))
+@functools.partial(jax.jit, static_argnames=("tables", "blk_cap", "steps"))
 def _spec_converge_jit(
-    xs, chunk_bits, inherit, max_iters, *, tables, blk_cap
+    xs, chunk_bits, inherit, max_iters, *, tables, blk_cap,
+    steps=STEPS_PRODUCTION,
 ):
     """Run the Jacobi boundary fixed point ON DEVICE (lax.while_loop).
 
     Each iteration is one count-mode FSM scan; lane i's next start is
     lane i-1's end (rebased into lane i's row) wherever `inherit` holds.
-    Returns (start_bits, start_bim, blk, err, changed, iters, probe):
-    `changed` True means the loop hit `max_iters` without converging.
+    Returns (start_bits, start_bim, blk, err_mal, err_env, changed,
+    iters, probe): `changed` True means the loop hit `max_iters` without
+    converging; the error masks are kept SEPARATE so callers can
+    distinguish a malformed stream (host fallback) from an envelope
+    overflow (on-device STEPS_SAFE retry).
     The host loop this replaces paid one device program + one fetch PER
     iteration (~30 ms of tunnel latency each); this is one dispatch
     total.  `probe` keeps every inner-scan carry live (the XLA:CPU
@@ -1166,32 +1183,33 @@ def _spec_converge_jit(
         _, (err_mal, err_env), st = _fsm_scan(
             xs.T, caps, tables,
             start_bits=sb, start_bim=sm, chunk_bits=chunk_bits,
+            steps=steps,
         )
         probe = (
             st[0] + st[1] + st[2] + st[3] + st[5]
             + st[6].astype(jnp.int32)
         )
-        return st[9], st[10], st[4], err_mal | err_env, probe
+        return st[9], st[10], st[4], err_mal, err_env, probe
 
     def body(c):
-        sb, sm, _, _, _, it, _ = c
-        eb, ebim, blk, err, probe = count(sb, sm)
+        sb, sm, _, _, _, _, it, _ = c
+        eb, ebim, blk, err_mal, err_env, probe = count(sb, sm)
         nb = jnp.clip(jnp.roll(eb, 1) - chunk_bytes * 8, 0, max_start)
         nm = jnp.roll(ebim, 1)
         nb = jnp.where(inherit, nb, zero)
         nm = jnp.where(inherit, nm, zero)
         changed = jnp.any((nb != sb) | (nm != sm))
-        return (nb, nm, blk, err, changed, it + 1, probe)
+        return (nb, nm, blk, err_mal, err_env, changed, it + 1, probe)
 
     def cond(c):
-        return c[4] & (c[5] < max_iters)
+        return c[5] & (c[6] < max_iters)
 
-    init = (zero, zero, zero, jnp.zeros(L, bool), jnp.bool_(True),
-            jnp.int32(0), zero)
-    sb, sm, blk, err, changed, it, probe = jax.lax.while_loop(
+    init = (zero, zero, zero, jnp.zeros(L, bool), jnp.zeros(L, bool),
+            jnp.bool_(True), jnp.int32(0), zero)
+    sb, sm, blk, err_mal, err_env, changed, it, probe = jax.lax.while_loop(
         cond, body, init
     )
-    return sb, sm, blk, err, changed, it, probe
+    return sb, sm, blk, err_mal, err_env, changed, it, probe
 
 
 def build_spec_plan(img: JpegImage, chunk_bytes: int = 2048) -> SpecPlan:
@@ -1289,22 +1307,59 @@ def build_spec_plan_batch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tables", "pad_to"))
-def _spec_gather_jit(per_lane, idx, *, tables, pad_to):
-    """Trim lane rows to quotas (one row gather) + resolve DC on device."""
+@functools.partial(
+    jax.jit, static_argnames=("tables", "pad_to", "nb", "n_imgs")
+)
+def _spec_gather_jit(per_lane, quotas, *, tables, pad_to, nb, n_imgs):
+    """Trim lane rows to quotas (one row gather) + resolve DC on device.
+
+    The gather index is built ON DEVICE from the [L] quota vector: lanes
+    are image-major and each image's quotas sum to exactly nb, so flat
+    block G of the [n_imgs * nb] output lives at lane `lane_of[G]`, slot
+    `G - off[lane_of[G]]` where `off` is the quota prefix sum.  lane_of /
+    off_of materialize by scattering L lane markers at the prefix sums
+    and forward-filling with a cummax — the scatter touches only L
+    elements (cheap; it is GATHERS that serialize per element on this
+    stack, PERFORMANCE.md) and replaces the host-built [B, nb] int32
+    index the old path uploaded (~1/32 the dense tensor's bytes — ~100 ms
+    over this rig's tunnel, the spec path's largest host<->device cost).
+    Zero-quota (padding) lanes park their marker out of bounds and drop.
+    """
     L, cap, _ = per_lane.shape
-    flat = per_lane.reshape(L * cap, 64)
-    coeffs = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-        idx.shape + (64,)
+    total = n_imgs * nb
+    q = quotas.astype(jnp.int32)
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(q)[:-1].astype(jnp.int32)]
     )
-    dc = _dc_cumsum(coeffs[:, :, 0], tables, idx.shape[1])
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    off_m = jnp.where(q > 0, off, total)  # park empty lanes out of bounds
+    lane_at = jnp.zeros(total, jnp.int32).at[off_m].max(lanes, mode="drop")
+    off_at = jnp.zeros(total, jnp.int32).at[off_m].max(off, mode="drop")
+    lane_of = jax.lax.cummax(lane_at)
+    off_of = jax.lax.cummax(off_at)
+    g = jnp.arange(total, dtype=jnp.int32)
+    idx = lane_of * cap + (g - off_of)
+    flat = per_lane.reshape(L * cap, 64)
+    coeffs = jnp.take(flat, idx, axis=0).reshape(n_imgs, nb, 64)
+    dc = _dc_cumsum(coeffs[:, :, 0], tables, nb)
     coeffs = jnp.concatenate([dc[:, :, None], coeffs[:, :, 1:]], axis=2)
-    if pad_to > coeffs.shape[0]:
-        pad = jnp.zeros(
-            (pad_to - coeffs.shape[0],) + coeffs.shape[1:], coeffs.dtype
-        )
+    if pad_to > n_imgs:
+        pad = jnp.zeros((pad_to - n_imgs, nb, 64), coeffs.dtype)
         coeffs = jnp.concatenate([coeffs, pad])
     return coeffs
+
+
+@jax.jit
+def _spec_fetch_pack(blocks, err_mal, err_env, changed, countable):
+    """Pack the chunk's single fetch: [L] block counts + 3 flag ints."""
+    flags = jnp.stack(
+        [
+            jnp.any(err_mal & countable),
+            jnp.any(err_env & countable),
+            changed,
+        ]
+    ).astype(jnp.int32)
+    return jnp.concatenate([blocks, flags])
 
 
 def decode_speculative_batch(
@@ -1315,6 +1370,7 @@ def decode_speculative_batch(
     pad_to: int | None = None,
     plan: SpecBatchPlan | None = None,
     xs_dev=None,
+    steps=STEPS_PRODUCTION,
 ):
     """Entropy-decode a batch of no-restart streams via speculative split.
 
@@ -1326,15 +1382,20 @@ def decode_speculative_batch(
     program + one host fetch per iteration for the batch, not per image.
 
     Returns per-image int32 [n_blocks, 64] zigzag coefficients,
-    bit-identical to the oracle.  Raises JpegError on malformed streams
-    or non-convergence.
+    bit-identical to the oracle.  Raises SpecEnvelopeError when the count
+    pass latched envelope lanes under `steps` (callers retry at
+    STEPS_SAFE), plain JpegError on malformed streams / non-convergence.
 
-    device_out=True (uniform-geometry batches only) skips the host
-    round-trip of the dense tensor: lane rows are trimmed to their block
-    quotas by ONE device row-gather (indices built host-side from the
-    fetched quotas, a ~1/64th-sized upload) and DC is resolved by the
-    per-image cumsum on device — the return is a device array
-    [pad_to or B, n_blocks, 64] ready for the pixel program.
+    device_out=True (uniform-geometry batches only) keeps the dense
+    tensor on device end to end, with exactly ONE host round-trip for
+    the whole chunk: the quota/flag fetch after convergence (~L int32).
+    Start states stay on device and feed the write pass directly, and
+    the ragged->dense gather index is built ON DEVICE from the quota
+    vector (_spec_gather_jit) — the old path fetched sb/sm, re-uploaded
+    them, and uploaded a [B, nb] int32 index (~1/32 the dense tensor).
+    Write-pass error masks stay on device and ride the caller's chunk
+    fence.  The return is a device array [pad_to or B, n_blocks, 64]
+    ready for the pixel program.
     """
     if plan is None:
         plan = build_spec_plan_batch(imgs, chunk_bytes)
@@ -1352,29 +1413,56 @@ def decode_speculative_batch(
     inherit[T:] = False
 
     iters = max_iters or int(plan.img_lanes.max()) + 1
-    sb, sm, blocks, err, changed, _, _ = _spec_converge_jit(
+    sb, sm, blocks, err_mal_c, err_env_c, changed, _, _ = _spec_converge_jit(
         xs, cbits, jnp.asarray(inherit), jnp.int32(iters),
-        tables=plan.tables, blk_cap=plan.blk_cap,
+        tables=plan.tables, blk_cap=plan.blk_cap, steps=steps,
     )
+    # THE one host round-trip of the chunk: per-lane block counts + the
+    # count-pass error classification + the convergence flag, together.
+    # sb/sm stay on device for the write pass.  Count-mode latches on an
+    # image's LAST lane are benign (with no quota it runs past the true
+    # end into the stream's byte padding; block counts stay correct
+    # because the latch happens after the last boundary), so only body
+    # lanes classify — last-lane problems surface as quota inconsistency
+    # or through the write pass, which stops at its quota.
+    countable = np.ones(L, bool)
+    countable[T:] = False
+    countable[plan.img_first + plan.img_lanes - 1] = False
     fetched = np.asarray(
         jax.device_get(
-            jnp.concatenate(
-                [sb, sm, blocks, changed.astype(jnp.int32)[None]]
+            _spec_fetch_pack(
+                blocks, err_mal_c, err_env_c, changed,
+                jnp.asarray(countable),
             )
         )
     )
-    start_bits = fetched[:L]
-    start_bim = fetched[L : 2 * L]
-    blocks = fetched[2 * L : 3 * L]
-    if fetched[-1]:
+    blocks_h = fetched[:L]
+    any_mal, any_env, changed_h = (int(v) for v in fetched[L : L + 3])
+    if changed_h:
         raise JpegError("speculative split did not converge")
+    if any_mal:
+        raise JpegError(
+            "speculative count pass latched malformed lanes"
+        )
+    if any_env:
+        raise SpecEnvelopeError(
+            "speculative count pass latched envelope lanes "
+            f"(stream denser than steps={steps})"
+        )
 
-    quotas = np.asarray(blocks[:L], np.int32).copy()
+    quotas = np.asarray(blocks_h, np.int32).copy()
     quotas[T:] = 0
     for first, S, nb in zip(plan.img_first, plan.img_lanes, plan.img_blocks):
         body = quotas[first : first + S - 1]
         last = int(nb) - int(body.sum())
-        if last <= 0 or last > plan.blk_cap or np.any(body >= plan.blk_cap):
+        if (
+            last <= 0
+            or last > plan.blk_cap
+            or np.any(body >= plan.blk_cap)
+            or np.any(body <= 0)  # device idx build needs every real
+            # lane's quota >= 1 (impossible for valid streams: a block
+            # spans <= ~213 bytes < chunk_bytes)
+        ):
             raise JpegError(
                 "speculative split found inconsistent block counts"
             )
@@ -1388,11 +1476,12 @@ def decode_speculative_batch(
     while cap_w < int(quotas.max(initial=1)):
         cap_w *= 2
     cap_w = min(cap_w, plan.blk_cap)
+    quotas_dev = jnp.asarray(quotas)  # [L] int32, rides the dispatch
     per_lane, (err_mal, err_env), _ = _decode_jit(
-        xs, jnp.asarray(quotas),
+        xs, quotas_dev,
         tables=plan.tables, max_blk=cap_w,
-        start_bits=jnp.asarray(start_bits), start_bim=jnp.asarray(start_bim),
-        dc_diff=True,
+        start_bits=sb, start_bim=sm,
+        dc_diff=True, steps=steps,
     )
     if not device_out and bool(
         jax.device_get(jnp.any(err_mal | err_env))
@@ -1400,20 +1489,10 @@ def decode_speculative_batch(
         raise JpegError("speculative decode failed (malformed scan)")
 
     if device_out:
-        nb = int(plan.img_blocks[0])
-        idx = np.empty((len(imgs), nb), np.int32)
-        for bi, (first, S) in enumerate(zip(plan.img_first, plan.img_lanes)):
-            q = quotas[first : first + S]
-            lanes = np.repeat(
-                np.arange(first, first + S, dtype=np.int32), q
-            )
-            within = np.arange(nb, dtype=np.int32) - np.repeat(
-                np.concatenate([[0], np.cumsum(q[:-1])]).astype(np.int32), q
-            )
-            idx[bi] = lanes * cap_w + within
         coeffs = _spec_gather_jit(
-            per_lane, jax.device_put(jnp.asarray(idx)), tables=plan.tables,
+            per_lane, quotas_dev, tables=plan.tables,
             pad_to=pad_to or len(imgs),
+            nb=int(plan.img_blocks[0]), n_imgs=len(imgs),
         )
         # error masks stay ON DEVICE: callers fold them into their chunk
         # fence (one combined host round-trip) instead of paying a ~30 ms
@@ -1442,5 +1521,11 @@ def decode_speculative(
 ) -> np.ndarray:
     """Entropy-decode one no-restart stream on device via speculative
     split (see decode_speculative_batch).  Returns int32 [n_blocks, 64]
-    zigzag coefficients, bit-identical to the oracle."""
-    return decode_speculative_batch([img], chunk_bytes, max_iters)[0]
+    zigzag coefficients, bit-identical to the oracle.  Streams denser
+    than the production step budget retry once at STEPS_SAFE."""
+    try:
+        return decode_speculative_batch([img], chunk_bytes, max_iters)[0]
+    except SpecEnvelopeError:
+        return decode_speculative_batch(
+            [img], chunk_bytes, max_iters, steps=STEPS_SAFE
+        )[0]

@@ -67,14 +67,31 @@ def measured_link_mbps() -> float:
     """
     global _link_mbps_cache
     if _link_mbps_cache is None:
-        buf = np.zeros(1 << 20, np.uint8)
-        dev = jax.device_put(buf)  # warm any lazy backend init
+        # Two sizes, bandwidth from the DELTA: a single-buffer probe folds
+        # the per-dispatch latency into the figure, and on a fast-link /
+        # high-latency machine (~5 ms dispatch) that misreads GB/s links
+        # as ~200 MB/s — right at the backend='auto' routing threshold.
+        small = np.zeros(1 << 16, np.uint8)
+        big = np.zeros(4 << 20, np.uint8)
+        dev = jax.device_put(small)  # warm any lazy backend init
         np.asarray(jax.device_get(dev[:8]))
-        t0 = time.perf_counter()
-        dev = jax.device_put(buf)
-        np.asarray(jax.device_get(dev[-8:]))
-        dt = time.perf_counter() - t0
-        _link_mbps_cache = buf.nbytes / dt / 1e6
+
+        def roundtrip(buf):
+            t0 = time.perf_counter()
+            d = jax.device_put(buf)
+            np.asarray(jax.device_get(d[-8:]))
+            return time.perf_counter() - t0
+
+        t_small = min(roundtrip(small) for _ in range(2))
+        t_big = roundtrip(big)
+        if t_big > t_small * 1.05:
+            _link_mbps_cache = (big.nbytes - small.nbytes) / (
+                t_big - t_small
+            ) / 1e6
+        else:
+            # latency so dominant the sizes are indistinguishable: report
+            # the raw big-buffer figure (a lower bound)
+            _link_mbps_cache = big.nbytes / t_big / 1e6
     return _link_mbps_cache
 
 
@@ -137,6 +154,7 @@ class _Chunk:
     plan: object = None                # FsmPlan (fsm backend, for K retry)
     plan_future: object = None         # async build_plan+upload (pipelining)
     steps = 0                          # FSM steps spec used (fsm._steps_spec)
+    spec_k_retries: int = 0            # inline STEPS_SAFE retries (spec path)
     err_mal: object = None             # device malformed mask (fsm backend)
     err_env: object = None             # device envelope mask (fsm backend)
     out: object = None                 # device (rgb, risk, metrics)
@@ -298,24 +316,35 @@ class BatchDecoder:
         chunk.coeffs = coeffs
         chunk.backend = "oracle" if self.backend == "oracle" else "host"
 
-    def _process_chunk_spec(self, chunk: _Chunk) -> bool:
+    def _process_chunk_spec(self, chunk: _Chunk, steps=None) -> bool:
         """Speculative-split device decode for streams without restart
         markers (the reference's centerpiece, parser.cu:50-208): entropy
-        runs on device via the Jacobi equal-split FSM, coefficients are
-        assembled on host, and the pixel program runs as usual.  Returns
-        False when any image is outside the speculative envelope."""
+        runs on device via the Jacobi equal-split FSM, the dense tensor
+        stays on device, and the pixel program runs as usual.  Returns
+        False when any image is outside the speculative envelope.
+        Streams denser than the production step budget (the count pass
+        latches envelope lanes -> SpecEnvelopeError) retry ON DEVICE at
+        STEPS_SAFE before any host fallback, mirroring the restart path's
+        K retry."""
         from ..ops import fsm
 
         geom = chunk.geom
         B = self._pad_batch()
+        chunk.steps = steps if steps is not None else fsm.STEPS_PRODUCTION
         try:
             # one Jacobi fixed point for the WHOLE chunk (a single device
-            # dispatch + fetch), then the dense tensor stays on device:
-            # lane rows are trimmed to their quotas by one row gather and
-            # DC resolves with the per-image cumsum
+            # dispatch + ONE quota/flag fetch), then the dense tensor
+            # stays on device: lane rows are trimmed to their quotas by
+            # one row gather (index built on device) and DC resolves with
+            # the per-image cumsum
             coeffs_dev, (err_mal, err_env) = fsm.decode_speculative_batch(
-                chunk.imgs, device_out=True, pad_to=B
+                chunk.imgs, device_out=True, pad_to=B, steps=chunk.steps
             )
+        except fsm.SpecEnvelopeError:
+            if not fsm.steps_below_safe(chunk.steps):
+                return False
+            chunk.spec_k_retries += 1
+            return self._process_chunk_spec(chunk, steps=fsm.STEPS_SAFE)
         except JpegError:
             return False
         fn = sharding.compiled_batch_decoder(geom, self.mesh, self.fancy)
@@ -547,11 +576,20 @@ class BatchDecoder:
                 if env and not mal and _fsm.steps_below_safe(chunk.steps):
                     # denser than the fast symbol-step envelope: retry the
                     # whole chunk ON DEVICE at the safe step count before
-                    # falling back to the host
+                    # falling back to the host (spec chunks retry via the
+                    # spec path — _process_chunk_fsm would rebuild a
+                    # restart plan they cannot have)
                     n_k += 1
-                    self._process_chunk_fsm(chunk, steps=_fsm.STEPS_SAFE)
-                    flags = np.asarray(jax.device_get(chunk.fence))
-                    mal, env = bool(flags[1]), bool(flags[2])
+                    retried = (
+                        self._process_chunk_spec(chunk, steps=_fsm.STEPS_SAFE)
+                        if chunk.backend == "fsm-spec"
+                        else self._process_chunk_fsm(
+                            chunk, steps=_fsm.STEPS_SAFE
+                        )
+                    )
+                    if retried:
+                        flags = np.asarray(jax.device_get(chunk.fence))
+                        mal, env = bool(flags[1]), bool(flags[2])
                 if mal or env:
                     # bad stream or outside-envelope stream on the device
                     # path: redo on the host decoder, which raises (or, in
@@ -563,6 +601,7 @@ class BatchDecoder:
             else:
                 _force_done(chunk.out)
         t_dev = time.perf_counter() - t0
+        n_k += sum(c.spec_k_retries for c in chunks)
 
         self.stats = BatchStats(
             n_images=n_images,
