@@ -51,41 +51,72 @@ def make_mesh(n_batch: int | None = None, n_stripe: int = 1, devices=None) -> Me
 
 
 def batched_decode_fn(
-    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray, fancy: bool = False
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
+    fancy: bool = False, extents: jnp.ndarray | None = None,
 ):
-    """vmapped single-image decode: [B, n_blocks, 64] -> ([B,H,W,3], [B,...])."""
-    return jax.vmap(functools.partial(device_decode_fn, geom, fancy=fancy))(
-        coeffs, quant
-    )
+    """vmapped single-image decode: [B, n_blocks, 64] -> ([B,H,W,3], [B,...]).
+
+    extents: optional [B, 2] int32 (true_mcus_y, true_mcus_x) per image
+    when `geom` is a size-class bucket (pipeline.bucket_geometry).
+    """
+    if extents is None:
+        return jax.vmap(functools.partial(device_decode_fn, geom, fancy=fancy))(
+            coeffs, quant
+        )
+    return jax.vmap(
+        lambda c, q, e: device_decode_fn(
+            geom, c, q, fancy=fancy, extents=(e[0], e[1])
+        )
+    )(coeffs, quant, extents)
 
 
 @functools.lru_cache(maxsize=64)
-def compiled_batch_decoder(geom: Geometry, mesh: Mesh, fancy: bool = False):
+def compiled_batch_decoder(
+    geom: Geometry, mesh: Mesh, fancy: bool = False, bucketed: bool = False
+):
     """jit a batch decode sharded over the `batch` mesh axis.
 
     Inputs must have a leading batch dim divisible by the batch axis size.
     Returns (rgb, riskbits, metrics) with metrics = global decoded-pixel
     count (psum over the mesh — the cross-chip reduction the reference's
     benchmark layer does on host).
+
+    bucketed=True compiles the size-class form: `geom` is a bucket
+    (pipeline.bucket_geometry), the call takes a third [B, 2] int32
+    true-MCU-extent argument, and rgb/risk cover the bucket's padded
+    raster (callers crop per image on host).  One compile then serves
+    EVERY exact geometry in the class — the recompile-free answer to the
+    reference's runtime-value dims (parser.cu:324-331).
     """
 
-    def step(coeffs, quant):
-        def local(coeffs_l, quant_l):
-            rgb, risk = batched_decode_fn(geom, coeffs_l, quant_l, fancy=fancy)
+    def step(coeffs, quant, extents=None):
+        def local(coeffs_l, quant_l, extents_l=None):
+            rgb, risk = batched_decode_fn(
+                geom, coeffs_l, quant_l, fancy=fancy, extents=extents_l
+            )
             pixels = jnp.asarray(
                 rgb.shape[0] * geom.width * geom.height, dtype=jnp.int32
             )
             total = jax.lax.psum(pixels, axis_name="batch")
             return rgb, risk, total
 
+        if extents is None:
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P("batch"), P("batch")),
+                out_specs=(P("batch"), P("batch"), P()),
+            )(coeffs, quant)
         return jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P("batch"), P("batch")),
+            in_specs=(P("batch"), P("batch"), P("batch")),
             out_specs=(P("batch"), P("batch"), P()),
-        )(coeffs, quant)
+        )(coeffs, quant, extents)
 
-    return jax.jit(step)
+    if bucketed:
+        return jax.jit(step)
+    return jax.jit(lambda coeffs, quant: step(coeffs, quant))
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,75 @@ class Geometry(tuple):
 
 
 # ---------------------------------------------------------------------------
+# Size-class bucketing (recompile-free mixed-size decode)
+# ---------------------------------------------------------------------------
+#
+# The reference decodes any image size with one compiled binary — dims are
+# runtime values (cuda-decoder/src/parser.cu:324-331,624-626).  XLA needs
+# static shapes, so heterogeneous-size corpora are decoded by snapping
+# each image's MCU grid UP to a geometric ladder of bucket sizes: the
+# coefficient tensor is zero-padded into the bucket's MCU raster, the
+# pixel program compiles ONCE PER BUCKET (not per exact size), and the
+# host crops the padded raster back to the true image.  The true MCU
+# extents ride the jitted program as runtime scalars, driving the fancy
+# upsampler's edge-replication masks so kept pixels stay bit-exact
+# (SURVEY §8 hard-part #3).
+
+_BUCKET_RATIO = 1.3  # ladder step; worst-case padded-area overhead 1.69x,
+# expected ~1.3x; 200^2..2000^2 spans ~14 ladder values per axis
+
+
+@functools.lru_cache(maxsize=None)
+def bucket_up(n: int) -> int:
+    """Smallest ladder value >= n (geometric ladder, base 4)."""
+    b = 4
+    while b < n:
+        b = -(-b * 13 // 10)  # ceil(b * 1.3), exact in ints
+    return b
+
+
+def bucket_geometry(geom: Geometry) -> Geometry:
+    """Snap a geometry's MCU grid up to its size-class bucket.
+
+    Width/height are the bucket's FULL padded raster (no in-jit crop),
+    so every exact geometry in the class shares one compiled program;
+    callers crop fetched pixels to each image's true (height, width).
+    """
+    bx = bucket_up(geom.mcus_x)
+    by = bucket_up(geom.mcus_y)
+    return Geometry(
+        (bx * 8 * geom.max_h, by * 8 * geom.max_v, bx, by, geom.comps)
+    )
+
+
+def pad_coeffs_to_bucket(
+    geom: Geometry, bucket: Geometry, coeffs: np.ndarray, out: np.ndarray
+) -> None:
+    """Scatter real-layout coefficients into a bucket-layout row (host).
+
+    Block order is MCU-raster, so each real MCU row lands at the same row
+    of the bucket grid, followed by zero padding MCUs.  `out` must be a
+    zeroed [bucket.n_blocks, 64] view.
+    """
+    bpm = geom.blocks_per_mcu
+    view = out.reshape(bucket.mcus_y, bucket.mcus_x, bpm, 64)
+    view[: geom.mcus_y, : geom.mcus_x] = coeffs.reshape(
+        geom.mcus_y, geom.mcus_x, bpm, 64
+    )
+
+
+def unpad_coeffs_from_bucket(
+    geom: Geometry, bucket: Geometry, out: np.ndarray
+) -> np.ndarray:
+    """Real-layout [n_blocks, 64] view of a bucket-layout row (host)."""
+    bpm = geom.blocks_per_mcu
+    view = out.reshape(bucket.mcus_y, bucket.mcus_x, bpm, 64)
+    return np.ascontiguousarray(
+        view[: geom.mcus_y, : geom.mcus_x]
+    ).reshape(geom.n_blocks, 64)
+
+
+# ---------------------------------------------------------------------------
 # Device program
 # ---------------------------------------------------------------------------
 
@@ -200,13 +269,25 @@ def _decode_rgb_planar_fused(
 
 
 def upsample_planes(
-    geom: Geometry, planes: list[jnp.ndarray], fancy: bool
+    geom: Geometry, planes: list[jnp.ndarray], fancy: bool, extents=None
 ) -> list[jnp.ndarray]:
-    """Native-resolution planes -> full-resolution planes (box or fancy)."""
+    """Native-resolution planes -> full-resolution planes (box or fancy).
+
+    extents: optional traced (true_mcus_y, true_mcus_x) for bucket-padded
+    decode — moves the fancy filter's bottom/right replication edges to
+    the image's real sample extent (box replication is pointwise and
+    needs nothing).
+    """
     from .ops.upsample import upsample_plane
 
     return [
-        upsample_plane(p, geom.max_h // h, geom.max_v // v, fancy)
+        upsample_plane(
+            p, geom.max_h // h, geom.max_v // v, fancy,
+            true_hw=(
+                None if extents is None
+                else (extents[0] * (v * 8), extents[1] * (h * 8))
+            ),
+        )
         for p, (h, v, _) in zip(planes, geom.comps)
     ]
 
@@ -232,7 +313,7 @@ def planes_to_rgb(
 
 def device_decode_fn(
     geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
-    fancy: bool = False, dc: jnp.ndarray | None = None,
+    fancy: bool = False, dc: jnp.ndarray | None = None, extents=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The jittable decode body: coefficients -> (rgb uint8 planar
     [3, H, W], packed riskbits).
@@ -244,13 +325,18 @@ def device_decode_fn(
     fancy:  libjpeg triangle chroma upsampling (subsampled streams only).
     dc:     optional int32 [n_blocks] resolved-DC override (see
         _idct_planar; used by the fused FSM chunk program).
+    extents: optional traced (true_mcus_y, true_mcus_x) when `geom` is a
+        size-class bucket (bucket_geometry) and the image only fills part
+        of it — everything but the fancy upsampler's edge handling is
+        per-block/per-pixel, so this is the only place true size matters.
     """
     if geom.max_h == 1 and geom.max_v == 1:
         # no upsampling needed: color in the block domain, one uint8
-        # raster pass (the reference's 4:4:4-only contract lives here)
+        # raster pass (the reference's 4:4:4-only contract lives here);
+        # pointwise, so bucket padding needs no extents
         return _decode_rgb_planar_fused(geom, coeffs, quant, dc)
     planes = decode_subsampled_planes(geom, coeffs, quant, dc)
-    return planes_to_rgb(geom, upsample_planes(geom, planes, fancy))
+    return planes_to_rgb(geom, upsample_planes(geom, planes, fancy, extents))
 
 
 @functools.lru_cache(maxsize=256)

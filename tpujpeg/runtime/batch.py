@@ -161,6 +161,8 @@ class _Chunk:
     fence: object = None               # device [3] int32: rgb probe, err bits
     backend: str = ""
     failed: dict | None = None         # local index -> message (skip mode)
+    bucketed: bool = False             # geom is a size-class bucket; crop
+    # fetched pixels to each image's true (height, width) on host
 
 
 class BatchDecoder:
@@ -174,10 +176,24 @@ class BatchDecoder:
         mesh=None,
         strict: bool = True,
         fancy: bool = False,
+        size_buckets: bool = False,
     ):
+        """size_buckets=True decodes heterogeneous-size corpora with a
+        BOUNDED number of compiled programs: images group by size-class
+        bucket (pipeline.bucket_geometry) instead of exact geometry, the
+        pixel program compiles once per bucket, and outputs crop back to
+        each image's true size on host — the recompile-free answer to the
+        reference's runtime-value dims (cuda-decoder/src/parser.cu:324-331).
+        Bucketed chunks run the host-entropy (cudaH-style) path, so the
+        backend must be host-capable (auto/host/oracle)."""
         if backend not in ("auto", "host", "fsm", "gather", "oracle"):
             raise ValueError(f"unknown backend {backend!r}")
+        if size_buckets and backend not in ("auto", "host", "oracle"):
+            raise ValueError(
+                "size_buckets requires a host-capable backend (auto/host/oracle)"
+            )
         self.backend = backend
+        self.size_buckets = size_buckets
         self.chunk_size = chunk_size
         self.strict = strict
         self.fancy = fancy
@@ -207,10 +223,18 @@ class BatchDecoder:
 
     # -- decode -------------------------------------------------------------
 
+    def _chunk_key(self, geom: Geometry) -> Geometry:
+        """Chunk grouping key: exact geometry, or its size-class bucket."""
+        if self.size_buckets:
+            from ..pipeline import bucket_geometry
+
+            return bucket_geometry(geom)
+        return geom
+
     def _make_chunks(self, imgs: list[JpegImage]) -> list[_Chunk]:
         buckets: dict[Geometry, list[int]] = {}
         for i, img in enumerate(imgs):
-            buckets.setdefault(Geometry.of(img), []).append(i)
+            buckets.setdefault(self._chunk_key(Geometry.of(img)), []).append(i)
         chunks = []
         for geom, idxs in buckets.items():
             # Stride-sorted chunking: the FSM scan serializes one column
@@ -223,7 +247,10 @@ class BatchDecoder:
             for j in range(0, len(idxs), self.chunk_size):
                 part = idxs[j : j + self.chunk_size]
                 chunks.append(
-                    _Chunk(geom, part, [imgs[i] for i in part])
+                    _Chunk(
+                        geom, part, [imgs[i] for i in part],
+                        bucketed=self.size_buckets,
+                    )
                 )
         return chunks
 
@@ -248,6 +275,8 @@ class BatchDecoder:
         images individually: bad ones yield zero coefficients and land in
         chunk.failed instead of raising (ADVICE r1: skip mode must survive
         entropy-stage failures, not just parse failures)."""
+        if chunk.bucketed:
+            return self._process_chunk_host_bucketed(chunk, isolate=isolate)
         from . import host
 
         geom = chunk.geom
@@ -316,6 +345,91 @@ class BatchDecoder:
         chunk.coeffs = coeffs
         chunk.backend = "oracle" if self.backend == "oracle" else "host"
 
+    def _process_chunk_host_bucketed(self, chunk: _Chunk, isolate: bool):
+        """Host entropy for a size-class bucket chunk: mixed exact
+        geometries share one compiled pixel program.
+
+        Each image entropy-decodes into its REAL MCU layout (threads +
+        OpenMP, as in _process_chunk_host), is zero-padded into the
+        bucket's MCU raster on host (pipeline.pad_coeffs_to_bucket — a
+        strided numpy copy), and the bucketed pixel program receives the
+        true MCU extents as runtime values for the fancy upsampler's edge
+        masks.  Crop back to true (height, width) happens at fetch."""
+        from . import host
+        from ..pipeline import pad_coeffs_to_bucket
+
+        bucket = chunk.geom
+        B = self._pad_batch()
+        native = host._load_native()
+        use16 = native is not None and self.backend != "oracle"
+
+        if self.backend == "oracle":
+            from ..oracle import decoder as oracle
+
+            entropy_fn = oracle.entropy_decode
+        else:
+            entropy_fn = host.entropy_decode
+
+        def one(args):
+            bi, img, coeffs, narrow = args
+            g = Geometry.of(img)
+            try:
+                if narrow:
+                    tmp = np.empty((g.n_blocks, 64), np.int16)
+                    native.entropy_decode(img, out=tmp)
+                else:
+                    tmp = entropy_fn(img)
+            except JpegError as e:
+                from .native.lib import Int16RangeError
+
+                if isinstance(e, Int16RangeError) and narrow:
+                    raise  # whole chunk retries at int32
+                if not isolate:
+                    raise
+                if chunk.failed is None:
+                    chunk.failed = {}
+                chunk.failed[bi] = str(e)
+                return
+            pad_coeffs_to_bucket(g, bucket, tmp, coeffs[bi])
+
+        coeffs = None
+        if use16:
+            from .native.lib import Int16RangeError
+
+            coeffs = np.zeros((B, bucket.n_blocks, 64), np.int16)
+            try:
+                list(self.pool.map(
+                    one,
+                    [(bi, im, coeffs, True)
+                     for bi, im in enumerate(chunk.imgs)],
+                ))
+            except Int16RangeError:
+                coeffs = None  # corrupt-but-decodable DC walk: int32 redo
+        if coeffs is None:
+            coeffs = np.zeros((B, bucket.n_blocks, 64), np.int32)
+            list(self.pool.map(
+                one,
+                [(bi, im, coeffs, False) for bi, im in enumerate(chunk.imgs)],
+            ))
+
+        ext = np.tile(
+            np.asarray([bucket.mcus_y, bucket.mcus_x], np.int32), (B, 1)
+        )
+        for bi, img in enumerate(chunk.imgs):
+            ext[bi] = (img.mcus_y, img.mcus_x)
+        fn = sharding.compiled_batch_decoder(
+            bucket, self.mesh, self.fancy, bucketed=True
+        )
+        chunk.out = fn(
+            jnp.asarray(coeffs),
+            jnp.asarray(self._quant_block(chunk, B)),
+            jnp.asarray(ext),
+        )
+        chunk.coeffs = coeffs
+        chunk.backend = (
+            "oracle-bucketed" if self.backend == "oracle" else "host-bucketed"
+        )
+
     def _process_chunk_spec(self, chunk: _Chunk, steps=None) -> bool:
         """Speculative-split device decode for streams without restart
         markers (the reference's centerpiece, parser.cu:50-208): entropy
@@ -360,6 +474,8 @@ class BatchDecoder:
 
     def _prefers_fsm(self) -> bool:
         """Whether this decoder routes chunks to the device FSM first."""
+        if self.size_buckets:
+            return False  # bucketed chunks run the host-entropy path
         if self.backend == "fsm":
             return True
         if self.backend != "auto":
@@ -640,8 +756,11 @@ class BatchDecoder:
                     continue
                 img = chunk.imgs[bi]
                 out = rgb_h[bi]
+                if chunk.bucketed:
+                    # bucket rasters carry padding; crop to the true image
+                    out = out[: img.height, : img.width]
                 if self.strict:
-                    mask = unpack_mask(risk_h[bi], img.width)
+                    mask = unpack_mask(risk_h[bi], img.width)[: img.height]
                     if mask.any():
                         if coeffs_h is None:  # fsm path: fetch lazily
                             coeffs_h = np.asarray(
@@ -653,7 +772,15 @@ class BatchDecoder:
                                 coeffs_h[:, :, 0] = np.asarray(
                                     jax.device_get(chunk.dc_dev)
                                 )
-                        _repair(img, coeffs_h[bi], out, mask, fancy=self.fancy)
+                        ci = coeffs_h[bi]
+                        if chunk.bucketed:
+                            # repair indexes blocks in the REAL MCU layout
+                            from ..pipeline import unpad_coeffs_from_bucket
+
+                            ci = unpad_coeffs_from_bucket(
+                                Geometry.of(img), chunk.geom, ci
+                            )
+                        _repair(img, ci, out, mask, fancy=self.fancy)
                         repaired += int(mask.sum())
                 results[i] = out.astype(np.uint8)
         self.stats.repaired_pixels = repaired
@@ -721,7 +848,9 @@ class BatchDecoder:
                 t_ent += time.perf_counter() - t0
 
         def flush(geom, idxs, ims):
-            chunk = _Chunk(geom, list(idxs), list(ims))
+            chunk = _Chunk(
+                geom, list(idxs), list(ims), bucketed=self.size_buckets
+            )
             idxs.clear()
             ims.clear()
             pending.append(chunk)
@@ -738,7 +867,7 @@ class BatchDecoder:
             pos_of.append(i)
             j = n_parsed
             n_parsed += 1
-            geom = Geometry.of(res)
+            geom = self._chunk_key(Geometry.of(res))
             idxs, ims = buckets.setdefault(geom, ([], []))
             idxs.append(j)
             ims.append(res)
