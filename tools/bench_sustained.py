@@ -1,0 +1,136 @@
+"""Reference-scale sustained batch run: 3000 images through BatchDecoder.
+
+Mirrors the reference's throughput methodology at its full batch size
+(cuda-decoder/benchmark_thoughput/benchmark.cu:30-31: batchSize = 3000,
+kernel-only timing, no output writes): the engine decodes the whole
+corpus in windows, and each window reports throughput plus host RSS so
+memory behavior, prep-pool backpressure, and jit-cache growth at scale
+are measured, not assumed.  fetch=False matches the reference's
+commented-out output writes; end-to-end throughput on this rig is
+tunnel-capped (PERFORMANCE.md) — the point here is ENGINE STABILITY:
+flat MB/s and flat RSS across windows.
+
+  python tools/bench_sustained.py --images 3000 --size 500 \
+      --out benchmark_results/sustained_r3.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/tpujpeg-jax-cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/statm") as f:
+        pages = int(f.read().split()[1])
+    return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=3000)
+    ap.add_argument("--size", type=int, default=500)
+    ap.add_argument("--quality", type=int, default=90)
+    ap.add_argument("--rst-rows", type=int, default=1)
+    ap.add_argument("--backend", default="fsm")
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--windows", type=int, default=10)
+    ap.add_argument("--mixed-sizes", action="store_true",
+                    help="draw sizes from 200..2000 and decode with "
+                         "size_buckets=True (the recompile-free path)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _encode, _make_image
+    from tpujpeg.runtime.batch import BatchDecoder
+
+    rng = np.random.default_rng(0)
+    if args.mixed_sizes:
+        # the reference's dataset span (data_preprocessing/filter_images.py)
+        sizes = rng.integers(args.size, 2001 if args.size >= 200 else args.size * 4, args.images)
+    else:
+        sizes = np.full(args.images, args.size)
+    t0 = time.perf_counter()
+    datas = [
+        _encode(_make_image(int(s), i), args.quality, args.rst_rows)
+        for i, s in enumerate(sizes)
+    ]
+    print(f"encoded {len(datas)} images in {time.perf_counter() - t0:.1f}s, "
+          f"{sum(map(len, datas)) / 1e6:.1f} MB compressed", flush=True)
+
+    dec = BatchDecoder(
+        backend="host" if args.mixed_sizes else args.backend,
+        chunk_size=args.chunk,
+        strict=False,
+        size_buckets=args.mixed_sizes,
+    )
+    # warm compile on the first window's worth
+    dec.decode(datas[: args.chunk], fetch=False)
+
+    records = []
+    win = -(-len(datas) // args.windows)
+    for w in range(args.windows):
+        part = datas[w * win : (w + 1) * win]
+        if not part:
+            break
+        t0 = time.perf_counter()
+        dec.decode(part, fetch=False)
+        dt = time.perf_counter() - t0
+        rec = {
+            "window": w,
+            "images": len(part),
+            "compressed_MB": round(sum(map(len, part)) / 1e6, 2),
+            "MBps": round(sum(map(len, part)) / dt / 1e6, 2),
+            "rss_MB": round(_rss_mb(), 1),
+            "backend": dec.stats.backend,
+            "chunks": dec.stats.chunks,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    mbps = [r["MBps"] for r in records]
+    rss = [r["rss_MB"] for r in records]
+    summary = {
+        "metric": "sustained_batch",
+        "images": int(len(datas)),
+        "sizes": (
+            f"{int(sizes.min())}-{int(sizes.max())} mixed"
+            if args.mixed_sizes else f"{args.size}^2"
+        ),
+        "windows": len(records),
+        "MBps_mean": round(float(np.mean(mbps)), 2),
+        "MBps_min": round(float(np.min(mbps)), 2),
+        "MBps_max": round(float(np.max(mbps)), 2),
+        "rss_first_MB": rss[0],
+        "rss_last_MB": rss[-1],
+        "rss_growth_MB": round(rss[-1] - rss[0], 1),
+        "config": (
+            f"q{args.quality} rst={args.rst_rows} chunk={args.chunk} "
+            f"backend={records[-1]['backend']}; fetch=False matches the "
+            "reference's no-output-write methodology (benchmark.cu:80-84)"
+        ),
+    }
+    print(json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in records + [summary]:
+                f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
