@@ -86,3 +86,46 @@ def test_spec_batch_device_out_matches_host():
     for bi, h in enumerate(host):
         np.testing.assert_array_equal(dev[bi], h)
     assert not dev[2].any()  # padding rows are zero
+
+
+def test_spec_envelope_error_and_safe_retry():
+    # steps=(1,1) is below any real stream's symbol density: the count
+    # pass must latch env lanes and raise the TYPED envelope error (not
+    # garbage quotas / "inconsistent block counts"), and the STEPS_SAFE
+    # retry must decode bit-exact — the on-device K-retry contract the
+    # batch engine's spec path relies on.
+    img = parse(make_jpeg(shape=(48, 64), quality=92, seed=7, smooth=False))
+    with pytest.raises(fsm.SpecEnvelopeError):
+        fsm.decode_speculative_batch([img], chunk_bytes=CHUNK, steps=(1, 1))
+    assert fsm.steps_below_safe((1, 1))
+    got = fsm.decode_speculative_batch(
+        [img], chunk_bytes=CHUNK, steps=fsm.STEPS_SAFE
+    )[0]
+    np.testing.assert_array_equal(got, oracle.entropy_decode(img))
+
+
+def test_spec_batch_device_out_wide():
+    # wider-than-toy shape: 8 images, mixed smooth/noise content, padded
+    # batch, device-resident output (quota row-gather + device DPCM +
+    # device-built gather index) — the production fsm-spec chunk shape
+    # scaled to CPU-testable size (VERDICT r2 weak 5).
+    import jax
+
+    imgs = [
+        parse(
+            make_jpeg(
+                shape=(64, 80), quality=85 + (s % 3) * 5, seed=s,
+                smooth=(s % 2 == 0),
+            )
+        )
+        for s in range(8)
+    ]
+    coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
+        imgs, chunk_bytes=CHUNK, device_out=True, pad_to=10
+    )
+    assert not bool(jax.device_get((err_mal | err_env).any()))
+    dev = np.asarray(jax.device_get(coeffs))
+    assert dev.shape[0] == 10
+    for bi, img in enumerate(imgs):
+        np.testing.assert_array_equal(dev[bi], oracle.entropy_decode(img))
+    assert not dev[8:].any()

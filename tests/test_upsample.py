@@ -128,6 +128,34 @@ def test_fancy_is_closer_to_libjpeg_than_box():
     assert err_fancy <= 8, err_fancy
 
 
+@pytest.mark.parametrize("factor_name", ["411", "440"])
+def test_pipeline_fancy_exotic_factors_match_oracle(factor_name):
+    """4:1:1 (fh=4: fancy falls back to box, like libjpeg) and 4:4:0
+    (fh=1, fv=2: the h1v2 triangle pass).  Guards the _repair routing:
+    its box-vs-fancy split must agree with upsample_plane's factor
+    gates for every (fh, fv), not just 4:2:0/4:2:2 (VERDICT r2 weak 6)."""
+    cv2 = pytest.importorskip("cv2")
+    from tpujpeg import pipeline
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)  # noisy: more
+    # saturated pixels -> better odds of exercising the risk-repair path
+    ok, enc = cv2.imencode(
+        ".jpg", arr,
+        [cv2.IMWRITE_JPEG_QUALITY, 92,
+         cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
+         getattr(cv2, f"IMWRITE_JPEG_SAMPLING_FACTOR_{factor_name}")],
+    )
+    assert ok
+    img = parse(enc.tobytes())
+    fh = img.max_h // min(c.h for c in img.components)
+    fv = img.max_v // min(c.v for c in img.components)
+    assert (fh, fv) == {"411": (4, 1), "440": (1, 2)}[factor_name]
+    got = pipeline.decode(img, strict=True, fancy=True)
+    want = oracle.decode(img, fancy=True)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_batch_fancy():
     from tpujpeg.runtime.batch import BatchDecoder
 

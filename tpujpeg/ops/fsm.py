@@ -1455,14 +1455,12 @@ def decode_speculative_batch(
     for first, S, nb in zip(plan.img_first, plan.img_lanes, plan.img_blocks):
         body = quotas[first : first + S - 1]
         last = int(nb) - int(body.sum())
-        if (
-            last <= 0
-            or last > plan.blk_cap
-            or np.any(body >= plan.blk_cap)
-            or np.any(body <= 0)  # device idx build needs every real
-            # lane's quota >= 1 (impossible for valid streams: a block
-            # spans <= ~213 bytes < chunk_bytes)
-        ):
+        # last == 0 is legitimate: when a split boundary falls exactly
+        # after the image's final block, the trailing chunk holds only
+        # overlap/padding and owns no blocks (zero-quota lanes are inert
+        # everywhere downstream: the write pass emits nothing and the
+        # device gather parks their markers out of bounds)
+        if last < 0 or last > plan.blk_cap or np.any(body >= plan.blk_cap):
             raise JpegError(
                 "speculative split found inconsistent block counts"
             )
