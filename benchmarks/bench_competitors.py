@@ -74,6 +74,21 @@ def main(argv=None) -> int:
     except ImportError:
         pass
 
+    from tpujpeg.io.parser import parse
+    from tpujpeg.runtime import host as _host
+
+    if _host._load_native() is not None:
+        imgs = [parse(d) for d in datas]
+        _host.decode_cpu(imgs[0])  # warm (build + OpenMP pool)
+
+        def cpu_decode():
+            for im in imgs:
+                _host.decode_cpu(im)
+
+        # the complete native C++ decoder (entropy + pixels, OpenMP) —
+        # the apples-to-apples row against PIL/OpenCV on the same cores
+        timed("tpujpeg/cpu-native", cpu_decode)
+
     from tpujpeg.runtime.batch import BatchDecoder
 
     for backend in ("host", "fsm"):

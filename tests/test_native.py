@@ -195,3 +195,45 @@ def test_native_destuff_matches_numpy_real_scans(native):
             D._native, D._native_checked = old
         assert np.array_equal(img_n.scan_data, img_p.scan_data)
         assert np.array_equal(img_n.segment_offsets, img_p.segment_offsets)
+
+
+# -- full native pixel stage (pixels.cpp): complete CPU decode ----------------
+
+
+@pytest.mark.parametrize("name", GOLDEN)
+def test_native_cpu_decode_matches_goldens(native, name):
+    from tpujpeg.io.arrayio import read_array
+    from tpujpeg.runtime import host
+
+    img = parse_file(fixture_path(name))
+    got = host.decode_cpu(img)
+    gt = read_array(fixture_path(name, ".array"))
+    np.testing.assert_array_equal(got.astype(np.int32), gt)
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+@pytest.mark.parametrize("fancy", [False, True])
+def test_native_pixels_match_oracle(native, subsampling, fancy):
+    img = parse(
+        make_jpeg(shape=(57, 41), quality=88, seed=9, subsampling=subsampling,
+                  smooth=False)
+    )
+    from tpujpeg.runtime import host
+
+    got = host.decode_cpu(img, fancy=fancy)
+    np.testing.assert_array_equal(
+        got.astype(np.int32), oracle.decode(img, fancy=fancy)
+    )
+
+
+def test_native_pixels_grayscale_and_int32(native):
+    from tpujpeg.runtime import host
+
+    img = parse(make_jpeg(shape=(48, 48), quality=90, seed=5, gray=True))
+    got = host.decode_cpu(img)
+    np.testing.assert_array_equal(got.astype(np.int32), oracle.decode(img))
+    # int32 coefficient path (the Int16RangeError fallback shape)
+    coeffs32 = native.entropy_decode(img)
+    assert coeffs32.dtype == np.int32
+    got32 = native.pixels(img, coeffs32)
+    np.testing.assert_array_equal(got32, got)

@@ -34,6 +34,12 @@ def decode(data, backend: str = "tpu", fancy: bool = False):
         from .oracle import decoder as oracle
 
         return oracle.decode(img, fancy=fancy)
+    if backend == "cpu":
+        # complete native C++ decode (entropy + pixels, OpenMP) — no
+        # device, no XLA; the analog of the reference's cpp-decoder
+        from .runtime import host
+
+        return host.decode_cpu(img, fancy=fancy).astype("int32")
     from . import pipeline
 
     return pipeline.decode(img, fancy=fancy)

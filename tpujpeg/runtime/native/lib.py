@@ -80,6 +80,24 @@ class NativeRuntime:
             _i64p, ctypes.c_int64, _i64p,      # seg_offsets, cap, n_segs
         ]
         self._destuff = fnd
+        pix_common = [
+            _i32p,                              # quant [n_comp, 64]
+            _i32p, _i32p, _i32p,                # comp h / v / quant slot
+            ctypes.c_int64, ctypes.c_int64,     # n_comp, mcus_x
+            ctypes.c_int64, ctypes.c_int64,     # mcus_y, width
+            ctypes.c_int64, ctypes.c_int32,     # height, fancy
+            _u8p,                               # out rgb [H, W, 3]
+        ]
+        fnp32 = dll.tpj_pixels32
+        fnp32.restype = ctypes.c_int32
+        fnp32.argtypes = [_i32p] + pix_common
+        self._pixels32 = fnp32
+        fnp16 = dll.tpj_pixels16
+        fnp16.restype = ctypes.c_int32
+        fnp16.argtypes = [
+            np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        ] + pix_common
+        self._pixels16 = fnp16
         self._lut_cache: dict[bytes, np.ndarray] = {}
         self._lut_lock = threading.Lock()
 
@@ -187,6 +205,40 @@ class NativeRuntime:
             raise JpegError(_ERRORS.get(rc, f"native decode failed ({rc})"))
         return out
 
+    # -- pixel stage ---------------------------------------------------------
+
+    def pixels(
+        self, img: JpegImage, coeffs: np.ndarray, fancy: bool = False
+    ) -> np.ndarray:
+        """Full native pixel stage: dequant + zigzag + IDCT + upsample +
+        color (pixels.cpp, OpenMP).  Bit-identical to the oracle's pixel
+        stages (enforced by tests/test_native.py); together with
+        entropy_decode this is a complete CPU decoder, the analog of the
+        reference's cpp-decoder.  coeffs: [n_blocks, 64] int16/int32
+        zigzag, DPCM resolved.  Returns uint8 [height, width, 3] RGB."""
+        coeffs = np.ascontiguousarray(coeffs)
+        quant = np.ascontiguousarray(
+            np.stack(
+                [img.quant_tables[c.quant_id] for c in img.components]
+            ).astype(np.int32)
+        )
+        comp_h = np.array([c.h for c in img.components], np.int32)
+        comp_v = np.array([c.v for c in img.components], np.int32)
+        comp_q = np.arange(len(img.components), dtype=np.int32)
+        out = np.empty((img.height, img.width, 3), np.uint8)
+        fn = {
+            np.dtype(np.int32): self._pixels32,
+            np.dtype(np.int16): self._pixels16,
+        }[coeffs.dtype]
+        rc = fn(
+            coeffs.reshape(-1), quant, comp_h, comp_v, comp_q,
+            len(img.components), img.mcus_x, img.mcus_y,
+            img.width, img.height, int(fancy), out,
+        )
+        if rc != 0:
+            raise JpegError(f"native pixel stage failed ({rc})")
+        return out
+
 
 _runtime: NativeRuntime | None = None
 _load_lock = threading.Lock()
@@ -199,7 +251,7 @@ def load() -> NativeRuntime:
         if _runtime is None:
             path = build.build()
             dll = ctypes.CDLL(str(path))
-            if dll.tpj_version() != 5:
+            if dll.tpj_version() != 6:
                 raise RuntimeError("native ABI version mismatch")
             _runtime = NativeRuntime(dll)
     return _runtime

@@ -259,7 +259,7 @@ static int32_t entropy_decode_impl(
 
 extern "C" {
 
-int32_t tpj_version() { return 5; }
+int32_t tpj_version() { return 6; }  // 6: + tpj_pixels16/32 (pixels.cpp)
 
 int32_t tpj_entropy_decode(
     const uint8_t* scan, int64_t scan_len,
