@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                     choices=["auto", "host", "fsm", "oracle"])
     ap.add_argument("--format", default="png", choices=["png", "array"])
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--size-buckets", action="store_true",
+                    help="group images by size-class bucket instead of "
+                         "exact geometry: bounded compile count on "
+                         "mixed-size corpora (host-capable backends)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--manifest", default=None)
     args = ap.parse_args(argv)
@@ -57,7 +61,10 @@ def main(argv=None) -> int:
     if done:
         print(f"resume: {len(done)} already done, {len(names)} remaining")
 
-    dec = BatchDecoder(backend=args.backend, chunk_size=args.chunk)
+    dec = BatchDecoder(
+        backend=args.backend, chunk_size=args.chunk,
+        size_buckets=args.size_buckets,
+    )
     manifest = open(manifest_path, "a")
     n_ok = n_fail = 0
     for j in range(0, len(names), args.chunk):

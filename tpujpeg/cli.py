@@ -3,7 +3,7 @@
 Replaces the reference's hardcoded-path drivers (`main.cu:7-40`, output dir
 baked into `write()`, parser.cu:732) with a proper CLI:
 
-  python -m tpujpeg.cli decode IMG.jpg -o OUT.array [--backend tpu|oracle]
+  python -m tpujpeg.cli decode IMG.jpg -o OUT.array [--backend tpu|cpu|oracle]
   python -m tpujpeg.cli info IMG.jpg
   python -m tpujpeg.cli compare OUT.array GOLDEN.array [--tolerance N]
 """
@@ -28,6 +28,10 @@ def _cmd_decode(args) -> int:
         from .oracle import decoder as oracle
 
         rgb = oracle.decode(img, fancy=args.fancy_upsampling)
+    elif args.backend == "cpu":
+        from .runtime import host
+
+        rgb = host.decode_cpu(img, fancy=args.fancy_upsampling)
     else:
         from . import pipeline
 
@@ -107,7 +111,11 @@ def main(argv=None) -> int:
     d = sub.add_parser("decode", help="decode a JPEG to .array/.png")
     d.add_argument("input")
     d.add_argument("-o", "--output", default=None)
-    d.add_argument("--backend", choices=["tpu", "oracle"], default="tpu")
+    d.add_argument(
+        "--backend", choices=["tpu", "cpu", "oracle"], default="tpu",
+        help="tpu = device pipeline; cpu = complete native C++ decoder "
+             "(entropy + pixels, OpenMP); oracle = NumPy reference",
+    )
     d.add_argument(
         "--fast",
         action="store_true",
