@@ -150,3 +150,32 @@ def test_batch_fsm_k_retry(monkeypatch):
         np.testing.assert_array_equal(g, e)
     assert dec.stats.fsm_k_retries == 1
     assert dec.stats.fsm_envelope_fallbacks == 0
+
+
+def test_batch_cpu_backend_matches_oracle():
+    # complete native decode, no device/XLA touched (mesh is None)
+    datas = [
+        make_jpeg(shape=(64, 80), seed=1),
+        make_jpeg(shape=(40, 56), seed=2, subsampling=2),  # mixed geometry
+        make_jpeg(shape=(48, 48), seed=3, gray=True),
+    ]
+    dec = BatchDecoder(backend="cpu", chunk_size=2)
+    assert dec.mesh is None
+    out = dec.decode(datas)
+    assert dec.stats.backend == "cpu"
+    for g, d in zip(out, datas):
+        ref = oracle.decode(parse(d))
+        np.testing.assert_array_equal(g, ref.astype(np.uint8))
+
+
+def test_batch_cpu_backend_skip_mode():
+    datas = [
+        make_jpeg(shape=(64, 80), seed=1),
+        make_jpeg(shape=(64, 80), seed=2)[:150],  # truncated
+    ]
+    dec = BatchDecoder(backend="cpu", chunk_size=4)
+    out = dec.decode(datas, on_error="skip")
+    assert out[1] is None and 1 in dec.stats.failures
+    np.testing.assert_array_equal(
+        out[0], oracle.decode(parse(datas[0])).astype(np.uint8)
+    )

@@ -163,6 +163,7 @@ class _Chunk:
     failed: dict | None = None         # local index -> message (skip mode)
     bucketed: bool = False             # geom is a size-class bucket; crop
     # fetched pixels to each image's true (height, width) on host
+    rgb_host: list | None = None       # cpu backend: per-image uint8 HWC
 
 
 class BatchDecoder:
@@ -186,7 +187,7 @@ class BatchDecoder:
         reference's runtime-value dims (cuda-decoder/src/parser.cu:324-331).
         Bucketed chunks run the host-entropy (cudaH-style) path, so the
         backend must be host-capable (auto/host/oracle)."""
-        if backend not in ("auto", "host", "fsm", "gather", "oracle"):
+        if backend not in ("auto", "host", "fsm", "gather", "oracle", "cpu"):
             raise ValueError(f"unknown backend {backend!r}")
         if size_buckets and backend not in ("auto", "host", "oracle"):
             raise ValueError(
@@ -197,7 +198,14 @@ class BatchDecoder:
         self.chunk_size = chunk_size
         self.strict = strict
         self.fancy = fancy
-        self.mesh = mesh if mesh is not None else sharding.make_mesh(n_stripe=1)
+        # backend='cpu' never touches a device (the complete native C++
+        # decoder) — don't even enumerate them; jax backend init can hang
+        # when no accelerator is reachable
+        self.mesh = (
+            None if backend == "cpu"
+            else mesh if mesh is not None
+            else sharding.make_mesh(n_stripe=1)
+        )
         self.pool = ThreadPoolExecutor(max_workers=workers)
         # Dedicated two-deep pool for chunk preparation (plan packing +
         # scan upload): sharing the parse pool would FIFO-queue prepares
@@ -474,8 +482,8 @@ class BatchDecoder:
 
     def _prefers_fsm(self) -> bool:
         """Whether this decoder routes chunks to the device FSM first."""
-        if self.size_buckets:
-            return False  # bucketed chunks run the host-entropy path
+        if self.size_buckets or self.backend == "cpu":
+            return False  # no device FSM on these paths
         if self.backend == "fsm":
             return True
         if self.backend != "auto":
@@ -606,7 +614,34 @@ class BatchDecoder:
         chunk.coeffs = coeffs
         chunk.backend = "gather"
 
+    def _process_chunk_cpu(self, chunk: _Chunk, isolate: bool):
+        """Complete native C++ decode per image (entropy + pixels, OpenMP),
+        threaded across the chunk.  No device, no XLA: the batch form of
+        host.decode_cpu (the reference cpp-decoder's role).  Output is
+        exact by construction — no risk mask, no repair pass."""
+        from . import host
+
+        def one(args):
+            bi, img = args
+            try:
+                return host.decode_cpu(img, fancy=self.fancy)
+            except JpegError as e:
+                if not isolate:
+                    raise
+                if chunk.failed is None:
+                    chunk.failed = {}
+                chunk.failed[bi] = str(e)
+                return None
+
+        chunk.rgb_host = list(
+            self.pool.map(one, list(enumerate(chunk.imgs)))
+        )
+        chunk.backend = "cpu"
+
     def _process_chunk(self, chunk: _Chunk, isolate: bool = False):
+        if self.backend == "cpu":
+            self._process_chunk_cpu(chunk, isolate)
+            return
         if self.backend == "gather":
             self._process_chunk_gather(chunk)
             return
@@ -714,7 +749,7 @@ class BatchDecoder:
                     n_env += int(env and not mal)
                     self._process_chunk_host(chunk, isolate=isolate)
                     _force_done(chunk.out)
-            else:
+            elif chunk.out is not None:
                 _force_done(chunk.out)
         t_dev = time.perf_counter() - t0
         n_k += sum(c.spec_k_retries for c in chunks)
@@ -744,6 +779,11 @@ class BatchDecoder:
         results: list[np.ndarray | None] = [None] * n_images
         repaired = 0
         for chunk in chunks:
+            if chunk.rgb_host is not None:
+                # cpu backend: already uint8 HWC, exact by construction
+                for bi, i in enumerate(chunk.indices):
+                    results[i] = chunk.rgb_host[bi]
+                continue
             rgb, risk, _ = chunk.out
             # device rgb is planar [B, 3, H, W]; interleave on host
             rgb_h = np.moveaxis(
