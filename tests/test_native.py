@@ -237,3 +237,40 @@ def test_native_pixels_grayscale_and_int32(native):
     assert coeffs32.dtype == np.int32
     got32 = native.pixels(img, coeffs32)
     np.testing.assert_array_equal(got32, got)
+
+
+def _oracle_pixels(img, coeffs, fancy=False):
+    natural = oracle.dequantize(img, coeffs)
+    pixels = oracle.idct_blocks(natural)
+    planes = oracle.assemble_planes(img, pixels, fancy=fancy)
+    if len(planes) == 1:
+        yp = planes[0][: img.height, : img.width]
+        zeros = np.zeros_like(yp)
+        return oracle.ycbcr_to_rgb_exact(yp, zeros, zeros)
+    yp, cbp, crp = (p[: img.height, : img.width] for p in planes)
+    return oracle.ycbcr_to_rgb_exact(yp, cbp, crp)
+
+
+@pytest.mark.parametrize("mag", [1 << 12, 1 << 20])
+def test_native_pixels_extreme_coefficients(native, mag):
+    """Adversarial coefficient magnitudes (corrupt-stream garbage) stay
+    bit-identical to the oracle.  The SoA IDCT keeps int64 intermediates
+    unconditionally: exact worst-case L1 analysis of the butterfly
+    schedule bounds the provably-overflow-safe dequantized magnitude of
+    an int32 variant at 151, so any int32 fast path would be UB here."""
+    img = parse(
+        make_jpeg(shape=(40, 56), quality=75, seed=3, subsampling=2)
+    )
+    nb = img.n_mcus * sum(c.h * c.v for c in img.components)
+    rng = np.random.default_rng(7)
+    coeffs = rng.integers(-mag, mag + 1, size=(nb, 64), dtype=np.int32)
+    coeffs[0] = mag  # uniform worst-sign rows
+    coeffs[1] = -mag
+    coeffs[2] = mag * (1 - 2 * (np.arange(64, dtype=np.int32) & 1))
+    coeffs[3] = 0  # DC-only shortcut row...
+    coeffs[3, 0] = mag  # ...at extreme DC
+    for fancy in (False, True):
+        got = native.pixels(img, coeffs, fancy=fancy)
+        np.testing.assert_array_equal(
+            got.astype(np.int32), _oracle_pixels(img, coeffs, fancy=fancy)
+        )

@@ -28,6 +28,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <omp.h>
 
 namespace {
 
@@ -212,6 +213,27 @@ void fancy_upsample(const int16_t* plane, int64_t sh, int64_t sw, int fh,
   }
 }
 
+// Per-thread growable scratch arena.  The full-resolution planes at
+// 2000^2 are ~24 MB; a fresh malloc/free per call hands them back to
+// the OS (glibc mmap threshold) and every decode repays the soft
+// page-fault cost of first-touching them.  BatchDecoder calls the pixel
+// stage from a persistent worker pool, so thread-local reuse makes the
+// buffers warm after the first image of each size class.
+struct Arena {
+  void* p = nullptr;
+  size_t cap = 0;
+  ~Arena() { free(p); }
+  void* get(size_t n) {
+    if (n > cap) {
+      free(p);
+      p = malloc(n);
+      cap = p ? n : 0;
+    }
+    return p;
+  }
+};
+thread_local Arena g_pixels_arena;
+
 template <typename T>
 int32_t pixels_impl(const T* coeffs, const int32_t* quant,
                     const int32_t* comp_h, const int32_t* comp_v,
@@ -231,24 +253,28 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
   const int64_t W8 = mcus_x * max_h * 8, H8 = mcus_y * max_v * 8;
   if (width < 1 || height < 1 || width > W8 || height > H8) return -10;
 
-  // full-resolution centered planes (int16: IDCT output is [-256, 255])
-  int16_t* full[3] = {nullptr, nullptr, nullptr};
-  int16_t* scratch = nullptr;
+  // full-resolution centered planes (int16: IDCT output is [-256, 255]),
+  // upsample scratch, and the color stage's per-OpenMP-thread row
+  // buffers, carved from one thread-local arena
   int64_t scratch_cap = 0;
   for (int64_t ci = 0; ci < n_comp; ++ci) {
-    full[ci] = static_cast<int16_t*>(malloc(sizeof(int16_t) * H8 * W8));
-    if (!full[ci]) return -11;
     const int64_t sh = mcus_y * comp_v[ci] * 8, sw = mcus_x * comp_h[ci] * 8;
     if (sh * sw > scratch_cap && (sh != H8 || sw != W8))
       scratch_cap = sh * sw;
   }
-  if (scratch_cap) {
-    scratch = static_cast<int16_t*>(malloc(sizeof(int16_t) * scratch_cap));
-    if (!scratch) {
-      for (auto* p : full) free(p);
-      return -11;
-    }
-  }
+  const int max_threads = omp_get_max_threads();
+  const size_t plane_bytes = sizeof(int16_t) * H8 * W8;
+  const size_t rows8_bytes = 3 * W8 * max_threads;
+  char* arena = static_cast<char*>(g_pixels_arena.get(
+      n_comp * plane_bytes + sizeof(int16_t) * scratch_cap + rows8_bytes));
+  if (!arena) return -11;
+  int16_t* full[3] = {nullptr, nullptr, nullptr};
+  for (int64_t ci = 0; ci < n_comp; ++ci)
+    full[ci] = reinterpret_cast<int16_t*>(arena + ci * plane_bytes);
+  int16_t* scratch =
+      reinterpret_cast<int16_t*>(arena + n_comp * plane_bytes);
+  uint8_t* rows8 = reinterpret_cast<uint8_t*>(
+      arena + n_comp * plane_bytes + sizeof(int16_t) * scratch_cap);
 
   int64_t base = 0;
   for (int64_t ci = 0; ci < n_comp; ++ci) {
@@ -281,37 +307,76 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
     base += h * v;
   }
 
-  // exact mixed-precision color conversion (oracle ycbcr_to_rgb_exact):
+  // Exact mixed-precision color conversion (oracle ycbcr_to_rgb_exact):
   // double products, ONE float32 rounding per channel, +128.0f, trunc.
+  // Split into a branch-free planar row kernel gcc vectorizes (AVX-512:
+  // 8-wide double math; the /0.587 stays a true division — a reciprocal
+  // multiply rounds differently and breaks the bit-exactness contract)
+  // and a cheap byte-interleave pass: the stride-3 RGB store inside the
+  // math loop defeated auto-vectorization entirely (scalar vdivsd), and
+  // this stage — not the IDCT — dominated the pixel-stage profile.
   const double kRed = 2.0 - 2.0 * 0.299;   // 1.402
   const double kBlue = 2.0 - 2.0 * 0.114;  // 1.772
-#pragma omp parallel for schedule(static)
-  for (int64_t r = 0; r < height; ++r) {
-    const int16_t* yrow = full[0] + r * W8;
-    const int16_t* cbrow = n_comp == 3 ? full[1] + r * W8 : nullptr;
-    const int16_t* crrow = n_comp == 3 ? full[2] + r * W8 : nullptr;
-    uint8_t* o = out + r * width * 3;
-    for (int64_t c = 0; c < width; ++c) {
-      const double yd = yrow[c];
-      const double cb = cbrow ? cbrow[c] : 0.0;
-      const double cr = crrow ? crrow[c] : 0.0;
-      const float r32 = static_cast<float>(kRed * cr + yd);
-      const float b32 = static_cast<float>(kBlue * cb + yd);
-      const float g32 = static_cast<float>(
-          (yd - 0.114 * static_cast<double>(b32) -
-           0.299 * static_cast<double>(r32)) /
-          0.587);
-      o[c * 3 + 0] =
-          static_cast<uint8_t>(clamp255(static_cast<int>(r32 + 128.0f)));
-      o[c * 3 + 1] =
-          static_cast<uint8_t>(clamp255(static_cast<int>(g32 + 128.0f)));
-      o[c * 3 + 2] =
-          static_cast<uint8_t>(clamp255(static_cast<int>(b32 + 128.0f)));
+#pragma omp parallel
+  {
+    uint8_t* r8 = rows8 + 3 * W8 * omp_get_thread_num();
+    uint8_t* g8 = r8 + W8;
+    uint8_t* b8 = r8 + 2 * W8;
+#pragma omp for schedule(static)
+    for (int64_t r = 0; r < height; ++r) {
+      const int16_t* yrow = full[0] + r * W8;
+      if (n_comp == 3) {
+        const int16_t* cbrow = full[1] + r * W8;
+        const int16_t* crrow = full[2] + r * W8;
+        for (int64_t c = 0; c < width; ++c) {
+          const double yd = yrow[c];
+          const double cb = cbrow[c];
+          const double cr = crrow[c];
+          const float r32 = static_cast<float>(kRed * cr + yd);
+          const float b32 = static_cast<float>(kBlue * cb + yd);
+          const float g32 = static_cast<float>(
+              (yd - 0.114 * static_cast<double>(b32) -
+               0.299 * static_cast<double>(r32)) /
+              0.587);
+          r8[c] =
+              static_cast<uint8_t>(clamp255(static_cast<int>(r32 + 128.0f)));
+          g8[c] =
+              static_cast<uint8_t>(clamp255(static_cast<int>(g32 + 128.0f)));
+          b8[c] =
+              static_cast<uint8_t>(clamp255(static_cast<int>(b32 + 128.0f)));
+        }
+      } else {
+        // grayscale: same formula with cb = cr = 0 (identical rounding)
+        for (int64_t c = 0; c < width; ++c) {
+          const double yd = yrow[c];
+          const float r32 = static_cast<float>(yd);
+          const float g32 = static_cast<float>(
+              (yd - 0.114 * static_cast<double>(r32) -
+               0.299 * static_cast<double>(r32)) /
+              0.587);
+          r8[c] =
+              static_cast<uint8_t>(clamp255(static_cast<int>(r32 + 128.0f)));
+          g8[c] =
+              static_cast<uint8_t>(clamp255(static_cast<int>(g32 + 128.0f)));
+        }
+      }
+      uint8_t* o = out + r * width * 3;
+      if (n_comp == 3) {
+        for (int64_t c = 0; c < width; ++c) {
+          o[c * 3 + 0] = r8[c];
+          o[c * 3 + 1] = g8[c];
+          o[c * 3 + 2] = b8[c];
+        }
+      } else {
+        for (int64_t c = 0; c < width; ++c) {
+          o[c * 3 + 0] = r8[c];
+          o[c * 3 + 1] = g8[c];
+          o[c * 3 + 2] = r8[c];
+        }
+      }
     }
   }
 
-  free(scratch);
-  for (auto* p : full) free(p);
   return 0;
 }
 
