@@ -239,6 +239,63 @@ def test_native_pixels_grayscale_and_int32(native):
     np.testing.assert_array_equal(got32, got)
 
 
+# -- speculative self-sync path (no restart markers) -------------------------
+
+
+@pytest.fixture()
+def spec_forced(monkeypatch):
+    """Route every no-restart scan through the speculative parallel
+    decoder (entropy.cpp decode_noseg_spec), whatever its size."""
+    monkeypatch.setenv("TPJ_SPEC_MIN_BYTES", "64")
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_native_spec_matches_oracle(native, spec_forced, subsampling):
+    img = parse(
+        make_jpeg(shape=(120, 152), quality=90, subsampling=subsampling, seed=11)
+    )
+    assert img.restart_interval == 0
+    np.testing.assert_array_equal(
+        native.entropy_decode(img), oracle.entropy_decode(img)
+    )
+    out16 = np.zeros((img.n_mcus * img.blocks_per_mcu, 64), np.int16)
+    native.entropy_decode(img, out=out16)
+    np.testing.assert_array_equal(
+        out16.astype(np.int32), oracle.entropy_decode(img)
+    )
+
+
+def test_native_spec_grayscale(native, spec_forced):
+    img = parse(make_jpeg(shape=(104, 120), gray=True, seed=12))
+    np.testing.assert_array_equal(
+        native.entropy_decode(img), oracle.entropy_decode(img)
+    )
+
+
+def test_native_spec_error_parity_truncated(native, spec_forced):
+    from tpujpeg.errors import JpegError
+
+    img = parse(make_jpeg(shape=(96, 96), seed=13))
+    img.scan_data = img.scan_data[: img.scan_data.size // 8].copy()
+    with pytest.raises(JpegError):
+        native.entropy_decode(img)
+
+
+def test_native_spec_dc_runaway_int16(native, spec_forced):
+    """The adopted-suffix DC accumulation must surface int16 predictor
+    overflow exactly like the serial path (store_dc is shared)."""
+    from tpujpeg.runtime.native.lib import Int16RangeError
+
+    img, n_blocks = _dc_runaway_image()
+    out16 = np.zeros((n_blocks, 64), np.int16)
+    with pytest.raises(Int16RangeError):
+        native.entropy_decode(img, out=out16)
+    # ...and the int32 path decodes it, == oracle
+    np.testing.assert_array_equal(
+        native.entropy_decode(img), oracle.entropy_decode(img)
+    )
+
+
 def _oracle_pixels(img, coeffs, fancy=False):
     natural = oracle.dequantize(img, coeffs)
     pixels = oracle.idct_blocks(natural)

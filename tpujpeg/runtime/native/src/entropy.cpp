@@ -18,6 +18,20 @@
 // same segment table the TPU decoder uses for lane parallelism gives the
 // host decoder core parallelism.
 //
+// Scans WITHOUT restart markers parallelize through speculative
+// self-synchronization (the host mirror of the device fsm-spec path and
+// of the reference's final strategy, cuda-decoder/src/parser.cu): worker
+// threads decode equal byte chunks from guessed states (byte-aligned,
+// MCU phase 0, DC as raw diffs); a serial verification walk then decodes
+// from the true stream state and, at every block boundary, adopts a
+// chunk's recorded suffix when the speculative state (bit position AND
+// block phase within the MCU) matches exactly.  Huffman streams
+// self-synchronize, so the walk typically re-decodes only a short prefix
+// of each chunk; exact state matching makes the result bit-identical to
+// the serial decode regardless of sync luck, and every anomaly (invalid
+// code, truncation, DC range) simply falls through to serial re-decode
+// at the same position, preserving error semantics.
+//
 // Semantics are bit-identical to tpujpeg.oracle.decoder.entropy_decode:
 //   - JPEG EXTEND per reference utils.cu:34-41 (size==0 -> 0),
 //   - AC RLE with EOB / ZRL and the reference's "consume size bits even when
@@ -27,8 +41,13 @@
 // Exported C ABI (loaded via ctypes; no pybind11 in this image):
 //   tpj_entropy_decode        - decode one scan into int32 coefficients
 //   tpj_version               - ABI version tag
+#include <omp.h>
+
+#include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -87,6 +106,13 @@ struct BitReader {
   }
 
   inline int64_t bit_position() const { return byte_pos * 8 - bits; }
+
+  // Position the reader at an arbitrary (not byte-aligned) bit offset.
+  inline void seek(const uint8_t* d, int64_t bitpos) {
+    reset(d, bitpos >> 3);
+    refill();
+    consume(int(bitpos & 7));
+  }
 };
 
 // JPEG EXTEND (reference decodeNumber, utils.cu:34-41).
@@ -113,6 +139,56 @@ static inline uint32_t decode_sym(BitReader& br, const uint16_t* fast,
   return e;
 }
 
+// Decode one block's symbols.  The DC value is returned as the raw DPCM
+// DIFF via `dc_diff` (the caller accumulates — speculative decodes don't
+// know their predecessor's predictor).  Returns kOk / kErrInvalidCode.
+// The caller must zero `block` beforehand and apply the per-block
+// truncation rule afterwards.
+template <typename OutT>
+static inline int32_t decode_block(BitReader& br, const CompTables& t,
+                                   int32_t* dc_diff, OutT* block) {
+  // DC: size symbol, then EXTEND (cpp parser.cpp:105-110).
+  br.refill();
+  uint32_t e = decode_sym(br, t.dc_fast, t.dc16);
+  if (e == 0) return kErrInvalidCode;
+  int size = e & 0xFF;
+  *dc_diff = extend(size, br.get_bits(size));
+  // AC: run/size symbols (cpp parser.cpp:113-135).
+  int k = 1;
+  while (k < 64) {
+    br.refill();
+    e = decode_sym(br, t.ac_fast, t.ac16);
+    if (e == 0) return kErrInvalidCode;
+    int sym = e & 0xFF;
+    if (sym == 0) break;  // EOB
+    k += sym >> 4;
+    size = sym & 0x0F;
+    uint32_t raw = br.get_bits(size);
+    if (k < 64) {
+      block[k] = OutT(extend(size, raw));
+      ++k;
+    }
+    // else: bits consumed, value dropped (reference parser.cpp:130-135)
+  }
+  return kOk;
+}
+
+// Accumulate a DC diff into the per-component predictor and store it.
+// int16 outputs surface predictor overflow instead of wrapping: conformant
+// streams keep |DC| <= 2047, but a corrupt-but-decodable stream can walk
+// the predictor out of range, where a silent wrap would diverge from the
+// int32 oracle (round-1 advisor finding); callers retry on a wider path.
+template <typename OutT>
+static inline int32_t store_dc(int32_t* dc_pred, int comp, int32_t diff,
+                               OutT* block) {
+  dc_pred[comp] += diff;
+  if (sizeof(OutT) == 2 &&
+      (dc_pred[comp] > 32767 || dc_pred[comp] < -32768))
+    return kErrDcOverflow;
+  block[0] = OutT(dc_pred[comp]);
+  return kOk;
+}
+
 // Decode MCUs [mcu_begin, mcu_end) starting at scan byte `start_byte`
 // with fresh DC predictors.  `out` points at the first block of mcu_begin.
 // OutT is int32 or int16: every coefficient of a conformant baseline scan
@@ -131,40 +207,142 @@ static int32_t decode_range(const uint8_t* scan, int64_t scan_len,
 
   for (int64_t mcu = mcu_begin; mcu < mcu_end; ++mcu) {
     for (int64_t b = 0; b < bpm; ++b, block += 64) {
-      const CompTables& t = ct[pattern[b]];
-      // DC: size symbol, then EXTEND (cpp parser.cpp:105-110).
-      br.refill();
-      uint32_t e = decode_sym(br, t.dc_fast, t.dc16);
-      if (e == 0) return kErrInvalidCode;
-      int size = e & 0xFF;
-      dc_pred[pattern[b]] += extend(size, br.get_bits(size));
-      if (sizeof(OutT) == 2 &&
-          (dc_pred[pattern[b]] > 32767 || dc_pred[pattern[b]] < -32768)) {
-        // Conformant streams keep |DC| <= 2047; a corrupt-but-decodable
-        // stream can walk the predictor out of int16 range, where a
-        // silent wrap would diverge from the int32 oracle (round-1
-        // advisor finding).  Surface it; callers retry on a wider path.
-        return kErrDcOverflow;
-      }
-      block[0] = OutT(dc_pred[pattern[b]]);
-      // AC: run/size symbols (cpp parser.cpp:113-135).
-      int k = 1;
-      while (k < 64) {
-        br.refill();
-        e = decode_sym(br, t.ac_fast, t.ac16);
-        if (e == 0) return kErrInvalidCode;
-        int sym = e & 0xFF;
-        if (sym == 0) break;  // EOB
-        k += sym >> 4;
-        size = sym & 0x0F;
-        uint32_t raw = br.get_bits(size);
-        if (k < 64) {
-          block[k] = OutT(extend(size, raw));
-          ++k;
-        }
-        // else: bits consumed, value dropped (reference parser.cpp:130-135)
-      }
+      int32_t diff;
+      int32_t rc = decode_block(br, ct[pattern[b]], &diff, block);
+      if (rc != kOk) return rc;
+      rc = store_dc(dc_pred, pattern[b], diff, block);
+      if (rc != kOk) return rc;
       if (br.bit_position() > total_bits + 16) return kErrTruncated;
+    }
+  }
+  return kOk;
+}
+
+// -- speculative self-sync decode of restart-free scans ----------------------
+//
+// The host mirror of the device fsm-spec path (ops/fsm.py
+// decode_speculative_batch) and of the reference's self-synchronizing
+// final strategy: chunks decode in parallel from guessed states, a serial
+// walk verifies and stitches.  Exact state matching (bit position AND
+// block phase within the MCU) makes the stitched stream bit-identical to
+// a serial decode; speculation only affects speed.
+
+template <typename OutT>
+struct SpecChunk {
+  std::vector<int64_t> pos;  // pos[j] = bit position before block j;
+                             // pos[n] = exit state after the last block
+  std::vector<OutT> coeffs;  // [n, 64] zigzag blocks, DC as raw DPCM diff
+  int64_t n = 0;             // recorded block count
+};
+
+// Speculatively decode from byte-aligned `start_bit` (assumed MCU phase 0,
+// unknown DC predictor -> DC stored as diff) until the next block would
+// begin at/after `end_bit`, `max_blocks` are recorded, or the stream
+// misbehaves.  A bad block (invalid code, past-the-end position, diff too
+// wide for OutT) is dropped and ends the record: the verification walk
+// re-decodes from the exit state, so spurious pre-sync garbage never
+// surfaces and genuine errors re-manifest with serial semantics.
+template <typename OutT>
+static void decode_spec_chunk(const uint8_t* scan, int64_t total_bits,
+                              int64_t start_bit, int64_t end_bit,
+                              const int32_t* pattern, int64_t bpm,
+                              const CompTables* ct, int64_t max_blocks,
+                              SpecChunk<OutT>& sc) {
+  BitReader br;
+  br.reset(scan, start_bit >> 3);
+  const int64_t est = (end_bit - start_bit) / 64 + 16;
+  sc.pos.reserve(size_t(std::min(est, max_blocks) + 1));
+  sc.coeffs.reserve(size_t(std::min(est, max_blocks)) * 64);
+  while (sc.n < max_blocks) {
+    const int64_t p = br.bit_position();
+    if (p >= end_bit) break;
+    sc.coeffs.resize(size_t(sc.n + 1) * 64, OutT(0));
+    OutT* block = sc.coeffs.data() + sc.n * 64;
+    int32_t diff;
+    if (decode_block(br, ct[pattern[sc.n % bpm]], &diff, block) != kOk ||
+        br.bit_position() > total_bits + 16 ||
+        (sizeof(OutT) == 2 && (diff > 32767 || diff < -32768))) {
+      sc.coeffs.resize(size_t(sc.n) * 64);
+      sc.pos.push_back(p);  // exit = entry of the unverifiable block
+      return;
+    }
+    block[0] = OutT(diff);
+    sc.pos.push_back(p);
+    ++sc.n;
+  }
+  sc.pos.push_back(br.bit_position());
+}
+
+// Parallel decode of a scan with no restart segments: speculative chunk
+// pass (OpenMP), then the serial verification walk.  Bit-identical to
+// decode_range(scan, scan_len, 0, 0, n_mcus, ...), including error codes
+// and their per-block ordering.
+template <typename OutT>
+static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
+                                 int64_t n_blocks, const int32_t* pattern,
+                                 int64_t bpm, const CompTables* ct,
+                                 int64_t chunk_bytes, int64_t n_chunks,
+                                 OutT* out) {
+  const int64_t total_bits = scan_len * 8;
+  std::vector<SpecChunk<OutT>> chunks{size_t(n_chunks)};
+  // 4x the pro-rata block share bounds a degenerate chunk's memory; a
+  // chunk that is genuinely denser than that just gets re-decoded
+  // serially past its record (correctness never depends on the cap).
+  const int64_t cap = 4 * n_blocks * chunk_bytes / scan_len + 1024;
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    const int64_t end_bit = c + 1 < n_chunks ? (c + 1) * chunk_bytes * 8
+                                             : total_bits + 17;
+    decode_spec_chunk(scan, total_bits, c * chunk_bytes * 8, end_bit,
+                      pattern, bpm, ct, cap, chunks[size_t(c)]);
+  }
+
+  // Serial verification walk over the true stream state (S, G): adopt a
+  // chunk's recorded suffix on exact state match, else re-decode one
+  // block.  Chunk 0's guess IS the true state, so it adopts immediately;
+  // later chunks adopt from their first self-synchronized block.
+  BitReader br;
+  bool br_synced = false;
+  int32_t dc_pred[4] = {0, 0, 0, 0};
+  int64_t S = 0;  // bit position
+  int64_t G = 0;  // global block index
+  for (int64_t c = 0; c < n_chunks && G < n_blocks; ++c) {
+    const SpecChunk<OutT>& sc = chunks[size_t(c)];
+    const int64_t walk_end =
+        c + 1 < n_chunks ? (c + 1) * chunk_bytes * 8 : INT64_MAX;
+    while (G < n_blocks && S < walk_end) {
+      if (sc.n) {
+        auto it = std::lower_bound(sc.pos.begin(), sc.pos.begin() + sc.n, S);
+        const int64_t j = it - sc.pos.begin();
+        if (j < sc.n && *it == S && j % bpm == G % bpm) {
+          const int64_t n_adopt = std::min(sc.n - j, n_blocks - G);
+          std::memcpy(out + G * 64, sc.coeffs.data() + j * 64,
+                      size_t(n_adopt) * 64 * sizeof(OutT));
+          for (int64_t k = 0; k < n_adopt; ++k) {
+            OutT* block = out + (G + k) * 64;
+            int32_t rc = store_dc(dc_pred, pattern[(G + k) % bpm],
+                                  int32_t(block[0]), block);
+            if (rc != kOk) return rc;
+          }
+          G += n_adopt;
+          S = sc.pos[size_t(j + n_adopt)];
+          br_synced = false;
+          continue;
+        }
+      }
+      if (!br_synced) {
+        br.seek(scan, S);
+        br_synced = true;
+      }
+      OutT* block = out + G * 64;
+      int32_t diff;
+      int32_t rc = decode_block(br, ct[pattern[G % bpm]], &diff, block);
+      if (rc != kOk) return rc;
+      rc = store_dc(dc_pred, pattern[G % bpm], diff, block);
+      if (rc != kOk) return rc;
+      if (br.bit_position() > total_bits + 16) return kErrTruncated;
+      S = br.bit_position();
+      ++G;
     }
   }
   return kOk;
@@ -234,6 +412,25 @@ static int32_t entropy_decode_impl(
   }
 
   if (ri == 0 || n_segments <= 1) {
+    // No restart segments: speculative self-sync parallelism when the
+    // scan is big enough to amortize it (threshold overridable so tests
+    // can force every fixture through the speculative path).
+    int64_t spec_min = int64_t(1) << 18;
+    if (const char* env = std::getenv("TPJ_SPEC_MIN_BYTES")) {
+      char* endp = nullptr;
+      long long v = std::strtoll(env, &endp, 10);
+      if (endp != env && v >= 0) spec_min = v;
+    }
+    const int threads = omp_get_max_threads();
+    if (threads > 1 && scan_len >= spec_min && spec_min > 0) {
+      const int64_t floor_bytes = std::max<int64_t>(spec_min / 4, 1);
+      const int64_t chunk_bytes = std::max<int64_t>(
+          floor_bytes, (scan_len + 4 * threads - 1) / (4 * threads));
+      const int64_t n_chunks = (scan_len + chunk_bytes - 1) / chunk_bytes;
+      if (n_chunks >= 2)
+        return decode_noseg_spec(scan, scan_len, n_mcus * bpm, pattern, bpm,
+                                 ct, chunk_bytes, n_chunks, out);
+    }
     return decode_range(scan, scan_len, 0, 0, n_mcus, pattern, bpm, ct, out);
   }
 
