@@ -45,6 +45,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -273,10 +274,31 @@ static void decode_spec_chunk(const uint8_t* scan, int64_t total_bits,
   sc.pos.push_back(br.bit_position());
 }
 
-// Parallel decode of a scan with no restart segments: speculative chunk
-// pass (OpenMP), then the serial verification walk.  Bit-identical to
-// decode_range(scan, scan_len, 0, 0, n_mcus, ...), including error codes
-// and their per-block ordering.
+// Reusable per-caller-thread chunk records: the spec buffers are the size
+// of the coefficient output (tens of MB at 2000^2), and a fresh
+// malloc/free per decode hands them back to the OS and repays the soft
+// page-fault cost every call (same rationale as the pixels.cpp arena).
+// clear() keeps capacity, so buffers are warm from the second image on.
+template <typename OutT>
+static std::vector<SpecChunk<OutT>>& spec_chunk_pool() {
+  static thread_local std::vector<SpecChunk<OutT>> pool;
+  return pool;
+}
+
+// Parallel decode of a scan with no restart segments, in three passes:
+//   1. speculative chunk decode (parallel),
+//   2. serial verification walk: adopt recorded suffixes on exact state
+//      match (recording copy spans + predictor snapshots, advancing the
+//      DC predictors by the spans' per-component diff sums — a strided
+//      read of block[0] only), else re-decode one block in place,
+//   3. span apply (parallel): bulk-copy each adopted span and resolve its
+//      DC prefix from the snapshot.
+// Bit-identical to decode_range(scan, scan_len, 0, 0, n_mcus, ...); on
+// multiple errors the code of the earliest block in stream order is
+// returned, matching the serial decode's first-error semantics.
+// The caller must NOT pre-zero `out`: adopted spans are fully overwritten
+// and walk-decoded blocks zero themselves (skipping the whole-buffer
+// memset saves a full pass of write traffic).
 template <typename OutT>
 static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
                                  int64_t n_blocks, const int32_t* pattern,
@@ -284,7 +306,13 @@ static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
                                  int64_t chunk_bytes, int64_t n_chunks,
                                  OutT* out) {
   const int64_t total_bits = scan_len * 8;
-  std::vector<SpecChunk<OutT>> chunks{size_t(n_chunks)};
+  auto& chunks = spec_chunk_pool<OutT>();
+  if (int64_t(chunks.size()) < n_chunks) chunks.resize(size_t(n_chunks));
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    chunks[size_t(c)].pos.clear();
+    chunks[size_t(c)].coeffs.clear();
+    chunks[size_t(c)].n = 0;
+  }
   // 4x the pro-rata block share bounds a degenerate chunk's memory; a
   // chunk that is genuinely denser than that just gets re-decoded
   // serially past its record (correctness never depends on the cap).
@@ -297,16 +325,25 @@ static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
                       pattern, bpm, ct, cap, chunks[size_t(c)]);
   }
 
-  // Serial verification walk over the true stream state (S, G): adopt a
-  // chunk's recorded suffix on exact state match, else re-decode one
-  // block.  Chunk 0's guess IS the true state, so it adopts immediately;
-  // later chunks adopt from their first self-synchronized block.
+  // Pass 2: serial verification walk over the true stream state (S, G).
+  // Chunk 0's guess IS the true state, so it adopts immediately; later
+  // chunks adopt from their first self-synchronized block.
+  struct Span {
+    const OutT* src;
+    int64_t g0, n;
+    int32_t dc0[4];  // DC predictor snapshot at span start
+    int64_t err_g;   // first int16-overflow block in pass 3, or -1
+  };
+  std::vector<Span> spans;
+  spans.reserve(size_t(n_chunks) + 4);
   BitReader br;
   bool br_synced = false;
   int32_t dc_pred[4] = {0, 0, 0, 0};
   int64_t S = 0;  // bit position
   int64_t G = 0;  // global block index
-  for (int64_t c = 0; c < n_chunks && G < n_blocks; ++c) {
+  int32_t walk_rc = kOk;
+  int64_t walk_err_g = INT64_MAX;
+  for (int64_t c = 0; c < n_chunks && G < n_blocks && walk_rc == kOk; ++c) {
     const SpecChunk<OutT>& sc = chunks[size_t(c)];
     const int64_t walk_end =
         c + 1 < n_chunks ? (c + 1) * chunk_bytes * 8 : INT64_MAX;
@@ -315,17 +352,17 @@ static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
         auto it = std::lower_bound(sc.pos.begin(), sc.pos.begin() + sc.n, S);
         const int64_t j = it - sc.pos.begin();
         if (j < sc.n && *it == S && j % bpm == G % bpm) {
-          const int64_t n_adopt = std::min(sc.n - j, n_blocks - G);
-          std::memcpy(out + G * 64, sc.coeffs.data() + j * 64,
-                      size_t(n_adopt) * 64 * sizeof(OutT));
-          for (int64_t k = 0; k < n_adopt; ++k) {
-            OutT* block = out + (G + k) * 64;
-            int32_t rc = store_dc(dc_pred, pattern[(G + k) % bpm],
-                                  int32_t(block[0]), block);
-            if (rc != kOk) return rc;
-          }
-          G += n_adopt;
-          S = sc.pos[size_t(j + n_adopt)];
+          Span sp;
+          sp.src = sc.coeffs.data() + j * 64;
+          sp.g0 = G;
+          sp.n = std::min(sc.n - j, n_blocks - G);
+          std::memcpy(sp.dc0, dc_pred, sizeof(dc_pred));
+          sp.err_g = -1;
+          spans.push_back(sp);
+          for (int64_t k = 0; k < sp.n; ++k)
+            dc_pred[pattern[(G + k) % bpm]] += int32_t(sp.src[k * 64]);
+          G += sp.n;
+          S = sc.pos[size_t(j + sp.n)];
           br_synced = false;
           continue;
         }
@@ -335,17 +372,56 @@ static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
         br_synced = true;
       }
       OutT* block = out + G * 64;
+      std::memset(block, 0, 64 * sizeof(OutT));
       int32_t diff;
       int32_t rc = decode_block(br, ct[pattern[G % bpm]], &diff, block);
-      if (rc != kOk) return rc;
-      rc = store_dc(dc_pred, pattern[G % bpm], diff, block);
-      if (rc != kOk) return rc;
-      if (br.bit_position() > total_bits + 16) return kErrTruncated;
+      if (rc == kOk) rc = store_dc(dc_pred, pattern[G % bpm], diff, block);
+      if (rc == kOk && br.bit_position() > total_bits + 16)
+        rc = kErrTruncated;
+      if (rc != kOk) {
+        walk_rc = rc;
+        walk_err_g = G;
+        break;
+      }
       S = br.bit_position();
       ++G;
     }
   }
-  return kOk;
+
+  // Pass 3: apply the adopted spans (bulk copy + DC prefix resolution)
+  // in parallel.  Runs even when the walk latched an error: an earlier
+  // span error in stream order must win, like the serial decode would.
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t si = 0; si < int64_t(spans.size()); ++si) {
+    Span& sp = spans[size_t(si)];
+    std::memcpy(out + sp.g0 * 64, sp.src, size_t(sp.n) * 64 * sizeof(OutT));
+    int32_t pred[4];
+    std::memcpy(pred, sp.dc0, sizeof(pred));
+    for (int64_t k = 0; k < sp.n; ++k) {
+      OutT* block = out + (sp.g0 + k) * 64;
+      const int32_t diff = int32_t(block[0]);
+      if (store_dc(pred, pattern[(sp.g0 + k) % bpm], diff, block) != kOk) {
+        sp.err_g = sp.g0 + k;
+        break;
+      }
+    }
+  }
+  int32_t rc = walk_rc;
+  int64_t err_g = walk_err_g;
+  for (const Span& sp : spans)
+    if (sp.err_g >= 0 && sp.err_g < err_g) {
+      err_g = sp.err_g;
+      rc = kErrDcOverflow;
+    }
+  if (std::getenv("TPJ_SPEC_DEBUG")) {
+    int64_t n_adopted = 0;
+    for (const Span& sp : spans) n_adopted += sp.n;
+    std::fprintf(
+        stderr, "tpj spec: chunks=%lld adopted=%lld serial=%lld spans=%lld\n",
+        (long long)n_chunks, (long long)n_adopted,
+        (long long)(G - n_adopted), (long long)spans.size());
+  }
+  return rc;
 }
 
 // Derive the 10-bit first-level table: entry j covers peek windows with top
@@ -382,8 +458,6 @@ static int32_t entropy_decode_impl(
     const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
     const uint16_t* luts,
     OutT* out) {
-  std::memset(out, 0, size_t(n_mcus) * bpm * 64 * sizeof(OutT));
-
   // Fast first-level tables for every distinct LUT row in use.
   uint16_t fast[8][kFastSize];
   int fast_of[16];
@@ -413,9 +487,11 @@ static int32_t entropy_decode_impl(
 
   if (ri == 0 || n_segments <= 1) {
     // No restart segments: speculative self-sync parallelism when the
-    // scan is big enough to amortize it (threshold overridable so tests
-    // can force every fixture through the speculative path).
-    int64_t spec_min = int64_t(1) << 18;
+    // scan is big enough to amortize it.  Measured on the 4-core box:
+    // spec wins from ~20 KB scans up (0.27 vs 0.42 ms at 21 KB), so the
+    // gate is mostly an OMP-fork floor.  TPJ_SPEC_MIN_BYTES overrides
+    // (tests force every fixture through the speculative path).
+    int64_t spec_min = int64_t(1) << 14;
     if (const char* env = std::getenv("TPJ_SPEC_MIN_BYTES")) {
       char* endp = nullptr;
       long long v = std::strtoll(env, &endp, 10);
@@ -431,10 +507,12 @@ static int32_t entropy_decode_impl(
         return decode_noseg_spec(scan, scan_len, n_mcus * bpm, pattern, bpm,
                                  ct, chunk_bytes, n_chunks, out);
     }
+    std::memset(out, 0, size_t(n_mcus) * bpm * 64 * sizeof(OutT));
     return decode_range(scan, scan_len, 0, 0, n_mcus, pattern, bpm, ct, out);
   }
 
   // One independent decode per restart segment; parallel across cores.
+  std::memset(out, 0, size_t(n_mcus) * bpm * 64 * sizeof(OutT));
   int32_t status = kOk;
   const int64_t need = (n_mcus + ri - 1) / ri;
   if (need > n_segments) return kErrMissingSegment;
