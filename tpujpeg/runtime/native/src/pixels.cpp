@@ -47,89 +47,147 @@ inline int16_t clip_pix(int64_t v) {
   return static_cast<int16_t>(v < -256 ? -256 : (v > 255 ? 255 : v));
 }
 
+// 8-lane int64 vectors (GCC vector extensions; one AVX-512 zmm on this
+// class of host, legalized to narrower registers elsewhere).  int64
+// intermediates are part of the exactness contract — corrupt-stream
+// coefficient garbage overflows any int32 formulation (see the
+// extreme-coefficient tests) — and AVX-512DQ makes 8-wide int64
+// multiplies native, so the vector form loses nothing to a narrower one.
+typedef int64_t v8i __attribute__((vector_size(64)));
+typedef int16_t v8s __attribute__((vector_size(16)));
+
+static inline v8i v8i_load(const int64_t* p) {
+  v8i v;
+  std::memcpy(&v, p, sizeof(v));
+  return v;
+}
+
+// In-register 8x8 int64 transpose: 3 stages x 8 generic shuffles.
+static inline void transpose8(v8i r[8]) {
+  v8i u0 = __builtin_shufflevector(r[0], r[1], 0, 8, 2, 10, 4, 12, 6, 14);
+  v8i u1 = __builtin_shufflevector(r[0], r[1], 1, 9, 3, 11, 5, 13, 7, 15);
+  v8i u2 = __builtin_shufflevector(r[2], r[3], 0, 8, 2, 10, 4, 12, 6, 14);
+  v8i u3 = __builtin_shufflevector(r[2], r[3], 1, 9, 3, 11, 5, 13, 7, 15);
+  v8i u4 = __builtin_shufflevector(r[4], r[5], 0, 8, 2, 10, 4, 12, 6, 14);
+  v8i u5 = __builtin_shufflevector(r[4], r[5], 1, 9, 3, 11, 5, 13, 7, 15);
+  v8i u6 = __builtin_shufflevector(r[6], r[7], 0, 8, 2, 10, 4, 12, 6, 14);
+  v8i u7 = __builtin_shufflevector(r[6], r[7], 1, 9, 3, 11, 5, 13, 7, 15);
+  v8i v0 = __builtin_shufflevector(u0, u2, 0, 1, 8, 9, 4, 5, 12, 13);
+  v8i v2 = __builtin_shufflevector(u0, u2, 2, 3, 10, 11, 6, 7, 14, 15);
+  v8i v1 = __builtin_shufflevector(u1, u3, 0, 1, 8, 9, 4, 5, 12, 13);
+  v8i v3 = __builtin_shufflevector(u1, u3, 2, 3, 10, 11, 6, 7, 14, 15);
+  v8i v4 = __builtin_shufflevector(u4, u6, 0, 1, 8, 9, 4, 5, 12, 13);
+  v8i v6 = __builtin_shufflevector(u4, u6, 2, 3, 10, 11, 6, 7, 14, 15);
+  v8i v5 = __builtin_shufflevector(u5, u7, 0, 1, 8, 9, 4, 5, 12, 13);
+  v8i v7 = __builtin_shufflevector(u5, u7, 2, 3, 10, 11, 6, 7, 14, 15);
+  r[0] = __builtin_shufflevector(v0, v4, 0, 1, 2, 3, 8, 9, 10, 11);
+  r[4] = __builtin_shufflevector(v0, v4, 4, 5, 6, 7, 12, 13, 14, 15);
+  r[1] = __builtin_shufflevector(v1, v5, 0, 1, 2, 3, 8, 9, 10, 11);
+  r[5] = __builtin_shufflevector(v1, v5, 4, 5, 6, 7, 12, 13, 14, 15);
+  r[2] = __builtin_shufflevector(v2, v6, 0, 1, 2, 3, 8, 9, 10, 11);
+  r[6] = __builtin_shufflevector(v2, v6, 4, 5, 6, 7, 12, 13, 14, 15);
+  r[3] = __builtin_shufflevector(v3, v7, 0, 1, 2, 3, 8, 9, 10, 11);
+  r[7] = __builtin_shufflevector(v3, v7, 4, 5, 6, 7, 12, 13, 14, 15);
+}
+
 // One 8x8 block: dequant (zigzag domain) + inverse zigzag + two-pass
-// integer IDCT.  `zz` is the block's 64 zigzag coefficients, `q` the
-// component's zigzag quant table; writes centered pixels [-256, 255]
-// into `out` with row stride `stride`.
+// integer IDCT, both passes 8 lanes wide.  `zz` is the block's 64 zigzag
+// coefficients, `q` the component's zigzag quant table; writes centered
+// pixels [-256, 255] into `out` with row stride `stride`.
+//
+// The row pass vectorizes ACROSS ROWS (each variable holds one natural
+// column over all 8 rows — the dequant loop writes the natural block
+// TRANSPOSED so those vectors load contiguously for free), producing
+// the columns of the intermediate; one in-register transpose then hands
+// the column pass its row vectors, which vectorize ACROSS COLUMNS and
+// store straight to the output rows.  Arithmetic is the scalar
+// schedule's, verbatim — bit-identical to the oracle by construction.
 template <typename T>
 void idct_block(const T* zz, const int32_t* q, int16_t* out, int64_t stride) {
-  int64_t nat[64];
+  alignas(64) int64_t natt[64];  // natt[c*8 + r] = dequant natural [r][c]
   for (int p = 0; p < 64; ++p) {
     const int z = kZ2N[p];
     // inverse of natural[p] = deq[Z2N[p]] (oracle dequantize)
-    nat[p] = static_cast<int64_t>(zz[z]) * q[z];
+    natt[(p & 7) * 8 + (p >> 3)] = static_cast<int64_t>(zz[z]) * q[z];
   }
-  int64_t tmp[64];
   // Row pass: butterfly inputs are columns 0,4,6,2,1,7,5,3 of each row.
-  for (int r = 0; r < 8; ++r) {
-    const int64_t* x = nat + r * 8;
-    int64_t x0 = (x[0] << 11) + 128, x1 = x[4] << 11, x2 = x[6], x3 = x[2],
-            x4 = x[1], x5 = x[7], x6 = x[5], x7 = x[3], x8;
-    x8 = C7 * (x4 + x5);
-    x4 = x8 + (C1 - C7) * x4;
-    x5 = x8 - (C1 + C7) * x5;
-    x8 = C3 * (x6 + x7);
-    x6 = x8 - (C3 - C5) * x6;
-    x7 = x8 - (C3 + C5) * x7;
-    x8 = x0 + x1;
-    x0 = x0 - x1;
-    x1 = C6 * (x3 + x2);
-    x2 = x1 - (C2 + C6) * x2;
-    x3 = x1 + (C2 - C6) * x3;
-    x1 = x4 + x6;
-    x4 = x4 - x6;
-    x6 = x5 + x7;
-    x5 = x5 - x7;
-    x7 = x8 + x3;
-    x8 = x8 - x3;
-    x3 = x0 + x2;
-    x0 = x0 - x2;
-    x2 = (181 * (x4 + x5) + 128) >> 8;
-    x4 = (181 * (x4 - x5) + 128) >> 8;
-    int64_t* o = tmp + r * 8;
-    o[0] = (x7 + x1) >> 8;
-    o[1] = (x3 + x2) >> 8;
-    o[2] = (x0 + x4) >> 8;
-    o[3] = (x8 + x6) >> 8;
-    o[4] = (x8 - x6) >> 8;
-    o[5] = (x0 - x4) >> 8;
-    o[6] = (x3 - x2) >> 8;
-    o[7] = (x7 - x1) >> 8;
-  }
+  v8i x0 = (v8i_load(natt + 0 * 8) << 11) + 128,
+      x1 = v8i_load(natt + 4 * 8) << 11, x2 = v8i_load(natt + 6 * 8),
+      x3 = v8i_load(natt + 2 * 8), x4 = v8i_load(natt + 1 * 8),
+      x5 = v8i_load(natt + 7 * 8), x6 = v8i_load(natt + 5 * 8),
+      x7 = v8i_load(natt + 3 * 8), x8;
+  x8 = C7 * (x4 + x5);
+  x4 = x8 + (C1 - C7) * x4;
+  x5 = x8 - (C1 + C7) * x5;
+  x8 = C3 * (x6 + x7);
+  x6 = x8 - (C3 - C5) * x6;
+  x7 = x8 - (C3 + C5) * x7;
+  x8 = x0 + x1;
+  x0 = x0 - x1;
+  x1 = C6 * (x3 + x2);
+  x2 = x1 - (C2 + C6) * x2;
+  x3 = x1 + (C2 - C6) * x3;
+  x1 = x4 + x6;
+  x4 = x4 - x6;
+  x6 = x5 + x7;
+  x5 = x5 - x7;
+  x7 = x8 + x3;
+  x8 = x8 - x3;
+  x3 = x0 + x2;
+  x0 = x0 - x2;
+  x2 = (181 * (x4 + x5) + 128) >> 8;
+  x4 = (181 * (x4 - x5) + 128) >> 8;
+  v8i t[8];  // t[j][r] = intermediate [r][j] (columns); transposed to rows
+  t[0] = (x7 + x1) >> 8;
+  t[1] = (x3 + x2) >> 8;
+  t[2] = (x0 + x4) >> 8;
+  t[3] = (x8 + x6) >> 8;
+  t[4] = (x8 - x6) >> 8;
+  t[5] = (x0 - x4) >> 8;
+  t[6] = (x3 - x2) >> 8;
+  t[7] = (x7 - x1) >> 8;
+  transpose8(t);
   // Column pass: same permutation over rows, >>14 with clip.
-  for (int c = 0; c < 8; ++c) {
-    int64_t x0 = (tmp[0 * 8 + c] << 8) + 8192, x1 = tmp[4 * 8 + c] << 8,
-            x2 = tmp[6 * 8 + c], x3 = tmp[2 * 8 + c], x4 = tmp[1 * 8 + c],
-            x5 = tmp[7 * 8 + c], x6 = tmp[5 * 8 + c], x7 = tmp[3 * 8 + c], x8;
-    x8 = C7 * (x4 + x5) + 4;
-    x4 = (x8 + (C1 - C7) * x4) >> 3;
-    x5 = (x8 - (C1 + C7) * x5) >> 3;
-    x8 = C3 * (x6 + x7) + 4;
-    x6 = (x8 - (C3 - C5) * x6) >> 3;
-    x7 = (x8 - (C3 + C5) * x7) >> 3;
-    x8 = x0 + x1;
-    x0 = x0 - x1;
-    x1 = C6 * (x3 + x2) + 4;
-    x2 = (x1 - (C2 + C6) * x2) >> 3;
-    x3 = (x1 + (C2 - C6) * x3) >> 3;
-    x1 = x4 + x6;
-    x4 = x4 - x6;
-    x6 = x5 + x7;
-    x5 = x5 - x7;
-    x7 = x8 + x3;
-    x8 = x8 - x3;
-    x3 = x0 + x2;
-    x0 = x0 - x2;
-    x2 = (181 * (x4 + x5) + 128) >> 8;
-    x4 = (181 * (x4 - x5) + 128) >> 8;
-    out[0 * stride + c] = clip_pix((x7 + x1) >> 14);
-    out[1 * stride + c] = clip_pix((x3 + x2) >> 14);
-    out[2 * stride + c] = clip_pix((x0 + x4) >> 14);
-    out[3 * stride + c] = clip_pix((x8 + x6) >> 14);
-    out[4 * stride + c] = clip_pix((x8 - x6) >> 14);
-    out[5 * stride + c] = clip_pix((x0 - x4) >> 14);
-    out[6 * stride + c] = clip_pix((x3 - x2) >> 14);
-    out[7 * stride + c] = clip_pix((x7 - x1) >> 14);
+  x0 = (t[0] << 8) + 8192;
+  x1 = t[4] << 8;
+  x2 = t[6];
+  x3 = t[2];
+  x4 = t[1];
+  x5 = t[7];
+  x6 = t[5];
+  x7 = t[3];
+  x8 = C7 * (x4 + x5) + 4;
+  x4 = (x8 + (C1 - C7) * x4) >> 3;
+  x5 = (x8 - (C1 + C7) * x5) >> 3;
+  x8 = C3 * (x6 + x7) + 4;
+  x6 = (x8 - (C3 - C5) * x6) >> 3;
+  x7 = (x8 - (C3 + C5) * x7) >> 3;
+  x8 = x0 + x1;
+  x0 = x0 - x1;
+  x1 = C6 * (x3 + x2) + 4;
+  x2 = (x1 - (C2 + C6) * x2) >> 3;
+  x3 = (x1 + (C2 - C6) * x3) >> 3;
+  x1 = x4 + x6;
+  x4 = x4 - x6;
+  x6 = x5 + x7;
+  x5 = x5 - x7;
+  x7 = x8 + x3;
+  x8 = x8 - x3;
+  x3 = x0 + x2;
+  x0 = x0 - x2;
+  x2 = (181 * (x4 + x5) + 128) >> 8;
+  x4 = (181 * (x4 - x5) + 128) >> 8;
+  const v8i rows[8] = {(x7 + x1) >> 14, (x3 + x2) >> 14, (x0 + x4) >> 14,
+                       (x8 + x6) >> 14, (x8 - x6) >> 14, (x0 - x4) >> 14,
+                       (x3 - x2) >> 14, (x7 - x1) >> 14};
+  const v8i lo = {-256, -256, -256, -256, -256, -256, -256, -256};
+  const v8i hi = {255, 255, 255, 255, 255, 255, 255, 255};
+  for (int k = 0; k < 8; ++k) {
+    v8i v = rows[k];
+    v = v < lo ? lo : v;
+    v = v > hi ? hi : v;
+    const v8s s = __builtin_convertvector(v, v8s);
+    std::memcpy(out + k * stride, &s, sizeof(s));
   }
 }
 
