@@ -33,6 +33,7 @@ so the jit cache stays small.
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -206,6 +207,11 @@ class BatchDecoder:
             else mesh if mesh is not None
             else sharding.make_mesh(n_stripe=1)
         )
+        if workers is None and backend == "cpu":
+            # one single-threaded native decode per core (see
+            # _process_chunk_cpu); the executor default (cores+4) just
+            # adds context-switch pressure on a decode-bound pool
+            workers = os.cpu_count() or 4
         self.pool = ThreadPoolExecutor(max_workers=workers)
         # Dedicated two-deep pool for chunk preparation (plan packing +
         # scan upload): sharing the parse pool would FIFO-queue prepares
@@ -621,10 +627,15 @@ class BatchDecoder:
         exact by construction — no risk mask, no repair pass."""
         from . import host
 
+        # Image-level parallelism via the pool beats oversubscribed
+        # intra-image OpenMP teams (pool x omp stacked 16+ threads on 4
+        # cores); single-image chunks keep the full team.
+        nt = 1 if len(chunk.imgs) > 1 else 0
+
         def one(args):
             bi, img = args
             try:
-                return host.decode_cpu(img, fancy=self.fancy)
+                return host.decode_cpu(img, fancy=self.fancy, threads=nt)
             except JpegError as e:
                 if not isolate:
                     raise

@@ -48,7 +48,9 @@ def backend_name() -> str:
     return "native-cpp" if _load_native() is not None else "numpy-oracle"
 
 
-def decode_cpu(img: JpegImage, fancy: bool = False) -> np.ndarray:
+def decode_cpu(
+    img: JpegImage, fancy: bool = False, threads: int = 0
+) -> np.ndarray:
     """Full CPU decode: native entropy + native pixel stage (OpenMP).
 
     The complete-on-host path — the analog of the reference's
@@ -66,9 +68,9 @@ def decode_cpu(img: JpegImage, fancy: bool = False) -> np.ndarray:
     n_blocks = img.n_mcus * img.blocks_per_mcu
     try:
         coeffs = np.empty((n_blocks, 64), np.int16)
-        native.entropy_decode(img, out=coeffs)
+        native.entropy_decode(img, out=coeffs, threads=threads)
     except Int16RangeError:
         # corrupt-but-decodable DC walk outside int16: int32 redo keeps
         # "same garbage bit-for-bit" parity with the oracle
-        coeffs = native.entropy_decode(img)
-    return native.pixels(img, coeffs, fancy=fancy)
+        coeffs = native.entropy_decode(img, threads=threads)
+    return native.pixels(img, coeffs, fancy=fancy, threads=threads)

@@ -60,7 +60,7 @@ class NativeRuntime:
             ctypes.c_int64, ctypes.c_int64,    # ri, n_mcus
             _i32p, ctypes.c_int64,             # pattern, bpm
             _i32p, _i32p, ctypes.c_int64,      # dc_rows, ac_rows, n_comp
-            _u16p,                             # luts, packed (len<<8)|sym
+            _u16p, ctypes.c_int32,             # luts, n_threads (0 = all)
         ]
         fn = dll.tpj_entropy_decode
         fn.restype = ctypes.c_int32
@@ -86,6 +86,7 @@ class NativeRuntime:
             ctypes.c_int64, ctypes.c_int64,     # n_comp, mcus_x
             ctypes.c_int64, ctypes.c_int64,     # mcus_y, width
             ctypes.c_int64, ctypes.c_int32,     # height, fancy
+            ctypes.c_int32,                     # n_threads (0 = all cores)
             _u8p,                               # out rgb [H, W, 3]
         ]
         fnp32 = dll.tpj_pixels32
@@ -167,7 +168,8 @@ class NativeRuntime:
     # -- decode -------------------------------------------------------------
 
     def entropy_decode(
-        self, img: JpegImage, out: np.ndarray | None = None
+        self, img: JpegImage, out: np.ndarray | None = None,
+        threads: int = 0,
     ) -> np.ndarray:
         """Huffman-decode the scan -> [n_blocks, 64] zigzag coefficients.
 
@@ -175,6 +177,9 @@ class NativeRuntime:
         tests/test_native.py).  `out` may be a preallocated contiguous
         int32 or int16 [n_blocks, 64] array (int16 is safe for conformant
         baseline scans and halves the device upload); default int32.
+        threads caps the OpenMP team (0 = all cores): batch drivers
+        decoding many images on a pool pass 1 — image-level parallelism
+        beats oversubscribed intra-image teams.
         """
         luts, dc_rows, ac_rows = self._pack_luts(img)
         scan = np.empty(img.scan_data.size + _SCAN_PAD, np.uint8)
@@ -196,7 +201,7 @@ class NativeRuntime:
             img.restart_interval, img.n_mcus,
             pattern, pattern.size,
             dc_rows, ac_rows, len(img.components),
-            luts,
+            luts, threads,
             out.reshape(-1),
         )
         if rc == -4:
@@ -208,7 +213,8 @@ class NativeRuntime:
     # -- pixel stage ---------------------------------------------------------
 
     def pixels(
-        self, img: JpegImage, coeffs: np.ndarray, fancy: bool = False
+        self, img: JpegImage, coeffs: np.ndarray, fancy: bool = False,
+        threads: int = 0,
     ) -> np.ndarray:
         """Full native pixel stage: dequant + zigzag + IDCT + upsample +
         color (pixels.cpp, OpenMP).  Bit-identical to the oracle's pixel
@@ -233,7 +239,7 @@ class NativeRuntime:
         rc = fn(
             coeffs.reshape(-1), quant, comp_h, comp_v, comp_q,
             len(img.components), img.mcus_x, img.mcus_y,
-            img.width, img.height, int(fancy), out,
+            img.width, img.height, int(fancy), threads, out,
         )
         if rc != 0:
             raise JpegError(f"native pixel stage failed ({rc})")
@@ -251,7 +257,7 @@ def load() -> NativeRuntime:
         if _runtime is None:
             path = build.build()
             dll = ctypes.CDLL(str(path))
-            if dll.tpj_version() != 6:
+            if dll.tpj_version() != 7:
                 raise RuntimeError("native ABI version mismatch")
             _runtime = NativeRuntime(dll)
     return _runtime

@@ -304,7 +304,7 @@ static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
                                  int64_t n_blocks, const int32_t* pattern,
                                  int64_t bpm, const CompTables* ct,
                                  int64_t chunk_bytes, int64_t n_chunks,
-                                 OutT* out) {
+                                 int nt, OutT* out) {
   const int64_t total_bits = scan_len * 8;
   auto& chunks = spec_chunk_pool<OutT>();
   if (int64_t(chunks.size()) < n_chunks) chunks.resize(size_t(n_chunks));
@@ -317,7 +317,7 @@ static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
   // chunk that is genuinely denser than that just gets re-decoded
   // serially past its record (correctness never depends on the cap).
   const int64_t cap = 4 * n_blocks * chunk_bytes / scan_len + 1024;
-#pragma omp parallel for schedule(dynamic, 1)
+#pragma omp parallel for schedule(dynamic, 1) num_threads(nt)
   for (int64_t c = 0; c < n_chunks; ++c) {
     const int64_t end_bit = c + 1 < n_chunks ? (c + 1) * chunk_bytes * 8
                                              : total_bits + 17;
@@ -391,7 +391,7 @@ static int32_t decode_noseg_spec(const uint8_t* scan, int64_t scan_len,
   // Pass 3: apply the adopted spans (bulk copy + DC prefix resolution)
   // in parallel.  Runs even when the walk latched an error: an earlier
   // span error in stream order must win, like the serial decode would.
-#pragma omp parallel for schedule(dynamic, 1)
+#pragma omp parallel for schedule(dynamic, 1) num_threads(nt)
   for (int64_t si = 0; si < int64_t(spans.size()); ++si) {
     Span& sp = spans[size_t(si)];
     std::memcpy(out + sp.g0 * 64, sp.src, size_t(sp.n) * 64 * sizeof(OutT));
@@ -456,8 +456,11 @@ static int32_t entropy_decode_impl(
     int64_t ri, int64_t n_mcus,
     const int32_t* pattern, int64_t bpm,
     const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
-    const uint16_t* luts,
+    const uint16_t* luts, int32_t n_threads,
     OutT* out) {
+  // n_threads > 0 caps the OpenMP teams (see pixels_impl note): batch
+  // drivers pass 1 and parallelize across images instead.
+  const int nt = n_threads > 0 ? int(n_threads) : omp_get_max_threads();
   // Fast first-level tables for every distinct LUT row in use.
   uint16_t fast[8][kFastSize];
   int fast_of[16];
@@ -497,15 +500,14 @@ static int32_t entropy_decode_impl(
       long long v = std::strtoll(env, &endp, 10);
       if (endp != env && v >= 0) spec_min = v;
     }
-    const int threads = omp_get_max_threads();
-    if (threads > 1 && scan_len >= spec_min && spec_min > 0) {
+    if (nt > 1 && scan_len >= spec_min && spec_min > 0) {
       const int64_t floor_bytes = std::max<int64_t>(spec_min / 4, 1);
       const int64_t chunk_bytes = std::max<int64_t>(
-          floor_bytes, (scan_len + 4 * threads - 1) / (4 * threads));
+          floor_bytes, (scan_len + 4 * nt - 1) / (4 * nt));
       const int64_t n_chunks = (scan_len + chunk_bytes - 1) / chunk_bytes;
       if (n_chunks >= 2)
         return decode_noseg_spec(scan, scan_len, n_mcus * bpm, pattern, bpm,
-                                 ct, chunk_bytes, n_chunks, out);
+                                 ct, chunk_bytes, n_chunks, nt, out);
     }
     std::memset(out, 0, size_t(n_mcus) * bpm * 64 * sizeof(OutT));
     return decode_range(scan, scan_len, 0, 0, n_mcus, pattern, bpm, ct, out);
@@ -516,7 +518,7 @@ static int32_t entropy_decode_impl(
   int32_t status = kOk;
   const int64_t need = (n_mcus + ri - 1) / ri;
   if (need > n_segments) return kErrMissingSegment;
-#pragma omp parallel for schedule(dynamic, 8)
+#pragma omp parallel for schedule(dynamic, 8) num_threads(nt)
   for (int64_t s = 0; s < need; ++s) {
     int64_t mcu_begin = s * ri;
     int64_t mcu_end = mcu_begin + ri < n_mcus ? mcu_begin + ri : n_mcus;
@@ -534,7 +536,7 @@ static int32_t entropy_decode_impl(
 
 extern "C" {
 
-int32_t tpj_version() { return 6; }  // 6: + tpj_pixels16/32 (pixels.cpp)
+int32_t tpj_version() { return 7; }  // 7: n_threads arg on decode/pixels
 
 int32_t tpj_entropy_decode(
     const uint8_t* scan, int64_t scan_len,
@@ -542,11 +544,11 @@ int32_t tpj_entropy_decode(
     int64_t ri, int64_t n_mcus,
     const int32_t* pattern, int64_t bpm,
     const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
-    const uint16_t* luts,
+    const uint16_t* luts, int32_t n_threads,
     int32_t* out) {
   return entropy_decode_impl(scan, scan_len, seg_offsets, n_segments, ri,
                              n_mcus, pattern, bpm, dc_rows, ac_rows, n_comp,
-                             luts, out);
+                             luts, n_threads, out);
 }
 
 // int16 variant: conformant baseline coefficients always fit (|DC| <= 2047,
@@ -558,11 +560,11 @@ int32_t tpj_entropy_decode16(
     int64_t ri, int64_t n_mcus,
     const int32_t* pattern, int64_t bpm,
     const int32_t* dc_rows, const int32_t* ac_rows, int64_t n_comp,
-    const uint16_t* luts,
+    const uint16_t* luts, int32_t n_threads,
     int16_t* out) {
   return entropy_decode_impl(scan, scan_len, seg_offsets, n_segments, ri,
                              n_mcus, pattern, bpm, dc_rows, ac_rows, n_comp,
-                             luts, out);
+                             luts, n_threads, out);
 }
 
 }  // extern "C"

@@ -195,9 +195,9 @@ inline int clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
 
 // Box replication (factors may exceed 2): src [sh, sw] -> dst [sh*fv, sw*fh].
 void box_upsample(const int16_t* src, int64_t sh, int64_t sw, int fh, int fv,
-                  int16_t* dst) {
+                  int16_t* dst, int nt) {
   const int64_t dw = sw * fh;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(nt)
   for (int64_t r = 0; r < sh * fv; ++r) {
     const int16_t* s = src + (r / fv) * sw;
     int16_t* d = dst + r * dw;
@@ -210,10 +210,10 @@ void box_upsample(const int16_t* src, int64_t sh, int64_t sw, int fh, int fv,
 // Fancy (triangle) upsampling on CLAMPED samples, re-centered after
 // (ops/upsample.py semantics; edge replication at the padded plane edge).
 void fancy_upsample(const int16_t* plane, int64_t sh, int64_t sw, int fh,
-                    int fv, int16_t* dst) {
+                    int fv, int16_t* dst, int nt) {
   const int64_t dw = sw * fh;
   if (fh == 2 && fv == 2) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(nt)
     for (int64_t r = 0; r < sh; ++r) {
       const int16_t* s = plane + r * sw;
       const int16_t* up = plane + (r ? r - 1 : 0) * sw;
@@ -238,7 +238,7 @@ void fancy_upsample(const int16_t* plane, int64_t sh, int64_t sw, int fh,
     return;
   }
   if (fh == 2 && fv == 1) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(nt)
     for (int64_t r = 0; r < sh; ++r) {
       const int16_t* s = plane + r * sw;
       int16_t* d = dst + r * dw;
@@ -254,7 +254,7 @@ void fancy_upsample(const int16_t* plane, int64_t sh, int64_t sw, int fh,
     return;
   }
   // fh == 1 && fv == 2 (h1v2): the transposed single rounded pass
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(nt)
   for (int64_t r = 0; r < sh; ++r) {
     const int16_t* s = plane + r * sw;
     const int16_t* up = plane + (r ? r - 1 : 0) * sw;
@@ -297,7 +297,7 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
                     const int32_t* comp_h, const int32_t* comp_v,
                     const int32_t* comp_q, int64_t n_comp, int64_t mcus_x,
                     int64_t mcus_y, int64_t width, int64_t height,
-                    int32_t fancy, uint8_t* out) {
+                    int32_t fancy, int32_t n_threads, uint8_t* out) {
   if (n_comp != 1 && n_comp != 3) return -10;
   int max_h = 1, max_v = 1;
   int64_t bpm = 0;
@@ -320,9 +320,12 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
     if (sh * sw > scratch_cap && (sh != H8 || sw != W8))
       scratch_cap = sh * sw;
   }
-  const int max_threads = omp_get_max_threads();
+  // n_threads > 0 caps the OpenMP teams: batch drivers decode many
+  // images concurrently on a thread pool, where image-level parallelism
+  // beats oversubscribed intra-image teams (runtime/batch.py passes 1).
+  const int nt = n_threads > 0 ? int(n_threads) : omp_get_max_threads();
   const size_t plane_bytes = sizeof(int16_t) * H8 * W8;
-  const size_t rows8_bytes = 3 * W8 * max_threads;
+  const size_t rows8_bytes = 3 * W8 * nt;
   char* arena = static_cast<char*>(g_pixels_arena.get(
       n_comp * plane_bytes + sizeof(int16_t) * scratch_cap + rows8_bytes));
   if (!arena) return -11;
@@ -341,7 +344,7 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
     const bool native_res = (sh == H8 && sw == W8);
     int16_t* plane = native_res ? full[ci] : scratch;
     const int32_t* q = quant + comp_q[ci] * 64;
-#pragma omp parallel for collapse(2) schedule(static)
+#pragma omp parallel for collapse(2) schedule(static) num_threads(nt)
     for (int64_t my = 0; my < mcus_y; ++my) {
       for (int64_t mx = 0; mx < mcus_x; ++mx) {
         const int64_t mcu = my * mcus_x + mx;
@@ -358,9 +361,9 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
     if (!native_res) {
       const int fh = max_h / h, fv = max_v / v;
       if (fancy && fh <= 2 && fv <= 2)
-        fancy_upsample(plane, sh, sw, fh, fv, full[ci]);
+        fancy_upsample(plane, sh, sw, fh, fv, full[ci], nt);
       else
-        box_upsample(plane, sh, sw, fh, fv, full[ci]);
+        box_upsample(plane, sh, sw, fh, fv, full[ci], nt);
     }
     base += h * v;
   }
@@ -375,7 +378,7 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
   // this stage — not the IDCT — dominated the pixel-stage profile.
   const double kRed = 2.0 - 2.0 * 0.299;   // 1.402
   const double kBlue = 2.0 - 2.0 * 0.114;  // 1.772
-#pragma omp parallel
+#pragma omp parallel num_threads(nt)
   {
     uint8_t* r8 = rows8 + 3 * W8 * omp_get_thread_num();
     uint8_t* g8 = r8 + W8;
@@ -446,18 +449,18 @@ int32_t tpj_pixels32(const int32_t* coeffs, const int32_t* quant,
                      const int32_t* comp_h, const int32_t* comp_v,
                      const int32_t* comp_q, int64_t n_comp, int64_t mcus_x,
                      int64_t mcus_y, int64_t width, int64_t height,
-                     int32_t fancy, uint8_t* out) {
+                     int32_t fancy, int32_t n_threads, uint8_t* out) {
   return pixels_impl(coeffs, quant, comp_h, comp_v, comp_q, n_comp, mcus_x,
-                     mcus_y, width, height, fancy, out);
+                     mcus_y, width, height, fancy, n_threads, out);
 }
 
 int32_t tpj_pixels16(const int16_t* coeffs, const int32_t* quant,
                      const int32_t* comp_h, const int32_t* comp_v,
                      const int32_t* comp_q, int64_t n_comp, int64_t mcus_x,
                      int64_t mcus_y, int64_t width, int64_t height,
-                     int32_t fancy, uint8_t* out) {
+                     int32_t fancy, int32_t n_threads, uint8_t* out) {
   return pixels_impl(coeffs, quant, comp_h, comp_v, comp_q, n_comp, mcus_x,
-                     mcus_y, width, height, fancy, out);
+                     mcus_y, width, height, fancy, n_threads, out);
 }
 
 }  // extern "C"
