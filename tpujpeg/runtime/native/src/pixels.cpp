@@ -193,81 +193,65 @@ void idct_block(const T* zz, const int32_t* q, int16_t* out, int64_t stride) {
 
 inline int clamp255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
 
-// Box replication (factors may exceed 2): src [sh, sw] -> dst [sh*fv, sw*fh].
-void box_upsample(const int16_t* src, int64_t sh, int64_t sw, int fh, int fv,
-                  int16_t* dst, int nt) {
-  const int64_t dw = sw * fh;
-#pragma omp parallel for schedule(static) num_threads(nt)
-  for (int64_t r = 0; r < sh * fv; ++r) {
-    const int16_t* s = src + (r / fv) * sw;
-    int16_t* d = dst + r * dw;
+// Build ONE upsampled row (output row r, width sw*fh) from a native
+// plane [sh, sw] — the upsample stage fused into the color loop's row
+// walk, so no full-resolution chroma plane is ever materialized (at
+// 2000^2 4:2:0 that is ~16 MB of write+read traffic per image gone, and
+// rows above the true image height are never computed at all).  Runs
+// inside the color stage's parallel region: no omp here.
+//
+// Formulas are ops/upsample.py verbatim: box replication for any
+// factors, libjpeg fancy (triangle) h2v2 / h2v1 / h1v2 on CLAMPED
+// samples with edge replication at the padded plane edge.  The h2v2
+// column sums are recomputed for each of the two output rows that share
+// them — cheaper than materializing the plane they'd be cached in.
+void upsample_row(const int16_t* plane, int64_t sh, int64_t sw, int fh,
+                  int fv, bool fancy, int64_t r, int16_t* d) {
+  if (!fancy) {
+    const int16_t* s = plane + (r / fv) * sw;
     for (int64_t c = 0; c < sw; ++c) {
       for (int f = 0; f < fh; ++f) d[c * fh + f] = s[c];
     }
+    return;
   }
-}
-
-// Fancy (triangle) upsampling on CLAMPED samples, re-centered after
-// (ops/upsample.py semantics; edge replication at the padded plane edge).
-void fancy_upsample(const int16_t* plane, int64_t sh, int64_t sw, int fh,
-                    int fv, int16_t* dst, int nt) {
-  const int64_t dw = sw * fh;
   if (fh == 2 && fv == 2) {
-#pragma omp parallel for schedule(static) num_threads(nt)
-    for (int64_t r = 0; r < sh; ++r) {
-      const int16_t* s = plane + r * sw;
-      const int16_t* up = plane + (r ? r - 1 : 0) * sw;
-      const int16_t* dn = plane + (r + 1 < sh ? r + 1 : sh - 1) * sw;
-      for (int pass = 0; pass < 2; ++pass) {
-        const int16_t* n = pass ? dn : up;
-        int16_t* d = dst + (2 * r + pass) * dw;
-        // unrounded 12-bit column sums, one rounded horizontal pass
-        for (int64_t c = 0; c < sw; ++c) {
-          const int cs = 3 * (clamp255(s[c] + 128)) + clamp255(n[c] + 128);
-          const int csl = 3 * (clamp255(s[c ? c - 1 : 0] + 128)) +
-                          clamp255(n[c ? c - 1 : 0] + 128);
-          const int64_t cr = c + 1 < sw ? c + 1 : sw - 1;
-          const int csr =
-              3 * (clamp255(s[cr] + 128)) + clamp255(n[cr] + 128);
-          d[2 * c] = static_cast<int16_t>(((3 * cs + csl + 8) >> 4) - 128);
-          d[2 * c + 1] =
-              static_cast<int16_t>(((3 * cs + csr + 7) >> 4) - 128);
-        }
-      }
+    const int64_t rr = r >> 1;
+    const int16_t* s = plane + rr * sw;
+    const int16_t* n = (r & 1) ? plane + (rr + 1 < sh ? rr + 1 : sh - 1) * sw
+                               : plane + (rr ? rr - 1 : 0) * sw;
+    // unrounded 12-bit column sums, one rounded horizontal pass
+    for (int64_t c = 0; c < sw; ++c) {
+      const int cs = 3 * (clamp255(s[c] + 128)) + clamp255(n[c] + 128);
+      const int csl = 3 * (clamp255(s[c ? c - 1 : 0] + 128)) +
+                      clamp255(n[c ? c - 1 : 0] + 128);
+      const int64_t cr = c + 1 < sw ? c + 1 : sw - 1;
+      const int csr = 3 * (clamp255(s[cr] + 128)) + clamp255(n[cr] + 128);
+      d[2 * c] = static_cast<int16_t>(((3 * cs + csl + 8) >> 4) - 128);
+      d[2 * c + 1] = static_cast<int16_t>(((3 * cs + csr + 7) >> 4) - 128);
     }
     return;
   }
   if (fh == 2 && fv == 1) {
-#pragma omp parallel for schedule(static) num_threads(nt)
-    for (int64_t r = 0; r < sh; ++r) {
-      const int16_t* s = plane + r * sw;
-      int16_t* d = dst + r * dw;
-      for (int64_t c = 0; c < sw; ++c) {
-        const int mid = clamp255(s[c] + 128);
-        const int left = clamp255(s[c ? c - 1 : 0] + 128);
-        const int right = clamp255(s[c + 1 < sw ? c + 1 : sw - 1] + 128);
-        d[2 * c] = static_cast<int16_t>(((3 * mid + left + 1) >> 2) - 128);
-        d[2 * c + 1] =
-            static_cast<int16_t>(((3 * mid + right + 2) >> 2) - 128);
-      }
+    const int16_t* s = plane + r * sw;
+    for (int64_t c = 0; c < sw; ++c) {
+      const int mid = clamp255(s[c] + 128);
+      const int left = clamp255(s[c ? c - 1 : 0] + 128);
+      const int right = clamp255(s[c + 1 < sw ? c + 1 : sw - 1] + 128);
+      d[2 * c] = static_cast<int16_t>(((3 * mid + left + 1) >> 2) - 128);
+      d[2 * c + 1] = static_cast<int16_t>(((3 * mid + right + 2) >> 2) - 128);
     }
     return;
   }
   // fh == 1 && fv == 2 (h1v2): the transposed single rounded pass
-#pragma omp parallel for schedule(static) num_threads(nt)
-  for (int64_t r = 0; r < sh; ++r) {
-    const int16_t* s = plane + r * sw;
-    const int16_t* up = plane + (r ? r - 1 : 0) * sw;
-    const int16_t* dn = plane + (r + 1 < sh ? r + 1 : sh - 1) * sw;
-    int16_t* d_even = dst + (2 * r) * sw;
-    int16_t* d_odd = dst + (2 * r + 1) * sw;
-    for (int64_t c = 0; c < sw; ++c) {
-      const int mid = clamp255(s[c] + 128);
-      d_even[c] = static_cast<int16_t>(
-          ((3 * mid + clamp255(up[c] + 128) + 1) >> 2) - 128);
-      d_odd[c] = static_cast<int16_t>(
-          ((3 * mid + clamp255(dn[c] + 128) + 2) >> 2) - 128);
-    }
+  const int64_t rr = r >> 1;
+  const int16_t* s = plane + rr * sw;
+  const int16_t* n = (r & 1) ? plane + (rr + 1 < sh ? rr + 1 : sh - 1) * sw
+                             : plane + (rr ? rr - 1 : 0) * sw;
+  const int bias = (r & 1) ? 2 : 1;
+  for (int64_t c = 0; c < sw; ++c) {
+    d[c] = static_cast<int16_t>(
+        ((3 * clamp255(s[c] + 128) + clamp255(n[c] + 128) + bias) >> 2) -
+        128);
   }
 }
 
@@ -311,38 +295,39 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
   const int64_t W8 = mcus_x * max_h * 8, H8 = mcus_y * max_v * 8;
   if (width < 1 || height < 1 || width > W8 || height > H8) return -10;
 
-  // full-resolution centered planes (int16: IDCT output is [-256, 255]),
-  // upsample scratch, and the color stage's per-OpenMP-thread row
-  // buffers, carved from one thread-local arena
-  int64_t scratch_cap = 0;
-  for (int64_t ci = 0; ci < n_comp; ++ci) {
-    const int64_t sh = mcus_y * comp_v[ci] * 8, sw = mcus_x * comp_h[ci] * 8;
-    if (sh * sw > scratch_cap && (sh != H8 || sw != W8))
-      scratch_cap = sh * sw;
-  }
+  // NATIVE-resolution centered planes per component (int16: IDCT output
+  // is [-256, 255]) plus the color stage's per-thread row buffers
+  // (upsampled chroma rows + planar RGB rows), carved from one
+  // thread-local arena.  Full-resolution chroma planes are never
+  // materialized: upsample_row builds each row on the fly inside the
+  // color walk.
   // n_threads > 0 caps the OpenMP teams: batch drivers decode many
   // images concurrently on a thread pool, where image-level parallelism
   // beats oversubscribed intra-image teams (runtime/batch.py passes 1).
   const int nt = n_threads > 0 ? int(n_threads) : omp_get_max_threads();
-  const size_t plane_bytes = sizeof(int16_t) * H8 * W8;
-  const size_t rows8_bytes = 3 * W8 * nt;
-  char* arena = static_cast<char*>(g_pixels_arena.get(
-      n_comp * plane_bytes + sizeof(int16_t) * scratch_cap + rows8_bytes));
+  int64_t plane_off[4] = {0, 0, 0, 0};
+  int n_sub = 0;  // subsampled components needing a row buffer
+  for (int64_t ci = 0; ci < n_comp; ++ci) {
+    const int64_t sh = mcus_y * comp_v[ci] * 8, sw = mcus_x * comp_h[ci] * 8;
+    plane_off[ci + 1] = plane_off[ci] + sh * sw;
+    if (sh != H8 || sw != W8) ++n_sub;
+  }
+  const size_t planes_bytes = sizeof(int16_t) * plane_off[n_comp];
+  const size_t threadrow_bytes =
+      sizeof(int16_t) * n_sub * W8 + 3 * W8;  // chroma rows + r/g/b rows
+  char* arena = static_cast<char*>(
+      g_pixels_arena.get(planes_bytes + threadrow_bytes * nt));
   if (!arena) return -11;
-  int16_t* full[3] = {nullptr, nullptr, nullptr};
+  int16_t* plane_of[3] = {nullptr, nullptr, nullptr};
   for (int64_t ci = 0; ci < n_comp; ++ci)
-    full[ci] = reinterpret_cast<int16_t*>(arena + ci * plane_bytes);
-  int16_t* scratch =
-      reinterpret_cast<int16_t*>(arena + n_comp * plane_bytes);
-  uint8_t* rows8 = reinterpret_cast<uint8_t*>(
-      arena + n_comp * plane_bytes + sizeof(int16_t) * scratch_cap);
+    plane_of[ci] = reinterpret_cast<int16_t*>(arena) + plane_off[ci];
+  char* threadrows = arena + planes_bytes;
 
   int64_t base = 0;
   for (int64_t ci = 0; ci < n_comp; ++ci) {
     const int h = comp_h[ci], v = comp_v[ci];
-    const int64_t sh = mcus_y * v * 8, sw = mcus_x * h * 8;
-    const bool native_res = (sh == H8 && sw == W8);
-    int16_t* plane = native_res ? full[ci] : scratch;
+    const int64_t sw = mcus_x * h * 8;
+    int16_t* plane = plane_of[ci];
     const int32_t* q = quant + comp_q[ci] * 64;
 #pragma omp parallel for collapse(2) schedule(static) num_threads(nt)
     for (int64_t my = 0; my < mcus_y; ++my) {
@@ -357,13 +342,6 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
           }
         }
       }
-    }
-    if (!native_res) {
-      const int fh = max_h / h, fv = max_v / v;
-      if (fancy && fh <= 2 && fv <= 2)
-        fancy_upsample(plane, sh, sw, fh, fv, full[ci], nt);
-      else
-        box_upsample(plane, sh, sw, fh, fv, full[ci], nt);
     }
     base += h * v;
   }
@@ -380,15 +358,41 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
   const double kBlue = 2.0 - 2.0 * 0.114;  // 1.772
 #pragma omp parallel num_threads(nt)
   {
-    uint8_t* r8 = rows8 + 3 * W8 * omp_get_thread_num();
+    char* mine = threadrows + threadrow_bytes * omp_get_thread_num();
+    int16_t* subrow[3] = {nullptr, nullptr, nullptr};
+    int nsub = 0;
+    bool fancy_of[3] = {false, false, false};
+    int fh_of[3] = {1, 1, 1}, fv_of[3] = {1, 1, 1};
+    int64_t sh_of[3] = {0, 0, 0}, sw_of[3] = {0, 0, 0};
+    for (int64_t ci = 0; ci < n_comp; ++ci) {
+      sh_of[ci] = mcus_y * comp_v[ci] * 8;
+      sw_of[ci] = mcus_x * comp_h[ci] * 8;
+      fh_of[ci] = max_h / comp_h[ci];
+      fv_of[ci] = max_v / comp_v[ci];
+      fancy_of[ci] = fancy && fh_of[ci] <= 2 && fv_of[ci] <= 2;
+      if (sh_of[ci] != H8 || sw_of[ci] != W8)
+        subrow[ci] = reinterpret_cast<int16_t*>(mine) + W8 * nsub++;
+    }
+    uint8_t* r8 = reinterpret_cast<uint8_t*>(
+        mine + sizeof(int16_t) * n_sub * W8);
     uint8_t* g8 = r8 + W8;
     uint8_t* b8 = r8 + 2 * W8;
 #pragma omp for schedule(static)
     for (int64_t r = 0; r < height; ++r) {
-      const int16_t* yrow = full[0] + r * W8;
+      const int16_t* crow[3] = {nullptr, nullptr, nullptr};
+      for (int64_t ci = 0; ci < n_comp; ++ci) {
+        if (subrow[ci]) {
+          upsample_row(plane_of[ci], sh_of[ci], sw_of[ci], fh_of[ci],
+                       fv_of[ci], fancy_of[ci], r, subrow[ci]);
+          crow[ci] = subrow[ci];
+        } else {
+          crow[ci] = plane_of[ci] + r * W8;
+        }
+      }
+      const int16_t* yrow = crow[0];
       if (n_comp == 3) {
-        const int16_t* cbrow = full[1] + r * W8;
-        const int16_t* crrow = full[2] + r * W8;
+        const int16_t* cbrow = crow[1];
+        const int16_t* crrow = crow[2];
         for (int64_t c = 0; c < width; ++c) {
           const double yd = yrow[c];
           const double cb = cbrow[c];
