@@ -42,7 +42,7 @@ def main(argv=None) -> int:
     ap.add_argument("--quality", type=int, default=90)
     ap.add_argument("--rst-rows", type=int, default=1)
     ap.add_argument("--backend", default="host",
-                    choices=["auto", "host", "fsm", "oracle"])
+                    choices=["auto", "host", "fsm", "oracle", "cpu"])
     ap.add_argument("--out", default="benchmark_results.txt")
     ap.add_argument("--jsonl", default=None)
     ap.add_argument("--images-dir", default=None,
