@@ -154,10 +154,13 @@ static inline int32_t decode_block(BitReader& br, const CompTables& t,
   if (e == 0) return kErrInvalidCode;
   int size = e & 0xFF;
   *dc_diff = extend(size, br.get_bits(size));
-  // AC: run/size symbols (cpp parser.cpp:113-135).
+  // AC: run/size symbols (cpp parser.cpp:113-135).  A symbol consumes
+  // at most 16 (code) + 15 (magnitude) = 31 bits, so refill only when
+  // the buffer dips below that: the predictable branch is cheaper than
+  // the unconditional load+bswap+splice chain every symbol.
   int k = 1;
   while (k < 64) {
-    br.refill();
+    if (br.bits < 31) br.refill();
     e = decode_sym(br, t.ac_fast, t.ac16);
     if (e == 0) return kErrInvalidCode;
     int sym = e & 0xFF;
