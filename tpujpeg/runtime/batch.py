@@ -33,6 +33,7 @@ so the jit cache stays small.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -297,18 +298,21 @@ class BatchDecoder:
         B = self._pad_batch()
         native = host._load_native()
 
+        # pool over images + single-threaded native decodes (see
+        # _process_chunk_cpu: image-level parallelism beats stacked teams)
+        nt = 1 if len(chunk.imgs) > 1 else 0
         if self.backend == "oracle":
             from ..oracle import decoder as oracle
 
             entropy_fn = oracle.entropy_decode
         else:
-            entropy_fn = host.entropy_decode
+            entropy_fn = functools.partial(host.entropy_decode, threads=nt)
 
         def one(args):
             bi, img, out16 = args
             try:
                 if out16 is not None:
-                    native.entropy_decode(img, out=out16)
+                    native.entropy_decode(img, out=out16, threads=nt)
                     return None
                 return entropy_fn(img)
             except JpegError as e:
@@ -377,12 +381,13 @@ class BatchDecoder:
         native = host._load_native()
         use16 = native is not None and self.backend != "oracle"
 
+        nt = 1 if len(chunk.imgs) > 1 else 0
         if self.backend == "oracle":
             from ..oracle import decoder as oracle
 
             entropy_fn = oracle.entropy_decode
         else:
-            entropy_fn = host.entropy_decode
+            entropy_fn = functools.partial(host.entropy_decode, threads=nt)
 
         def one(args):
             bi, img, coeffs, narrow = args
@@ -390,7 +395,7 @@ class BatchDecoder:
             try:
                 if narrow:
                     tmp = np.empty((g.n_blocks, 64), np.int16)
-                    native.entropy_decode(img, out=tmp)
+                    native.entropy_decode(img, out=tmp, threads=nt)
                 else:
                     tmp = entropy_fn(img)
             except JpegError as e:

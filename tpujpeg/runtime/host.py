@@ -36,11 +36,14 @@ def _load_native():
     return _native
 
 
-def entropy_decode(img: JpegImage) -> np.ndarray:
-    """Huffman-decode the scan -> int32 [n_blocks, 64] zigzag coefficients."""
+def entropy_decode(img: JpegImage, threads: int = 0) -> np.ndarray:
+    """Huffman-decode the scan -> int32 [n_blocks, 64] zigzag coefficients.
+
+    threads caps the native decoder's OpenMP team (0 = all cores); batch
+    drivers decoding many images on a pool pass 1."""
     native = _load_native()
     if native is not None:
-        return native.entropy_decode(img)
+        return native.entropy_decode(img, threads=threads)
     return oracle.entropy_decode(img)
 
 
