@@ -203,14 +203,20 @@ def test_fsm_grouped_stride_packing():
     np.testing.assert_array_equal(got, oracle_batch(imgs))
 
 
-def test_symmap_matches_piece_tree(monkeypatch):
-    # the two-level symbol map (TPUJPEG_SYMMAP) must decode bit-identically
-    # to the production piece tree
-    monkeypatch.setattr(fsm, "_SYMMAP", True)
+@pytest.mark.parametrize("symmap", [True, False])
+def test_symmap_matches_piece_tree(monkeypatch, symmap):
+    # the two-level symbol map (production default since the measured
+    # on-chip win, headline_r3_symmap.json) and the legacy flat piece
+    # tree (TPUJPEG_SYMMAP=0) must both decode bit-identically to the
+    # oracle — keep BOTH paths covered regardless of the env default
+    monkeypatch.setattr(fsm, "_SYMMAP", symmap)
     monkeypatch.setattr(fsm, "_tables_cache", {})
     img = parse(make_jpeg_rst(shape=(48, 64), rst_interval=2, seed=11))
     t = fsm.build_tables(img)
-    assert t.len_keys is not None and len(t.len_keys) < len(t.piece_keys)
+    if symmap:
+        assert t.len_keys is not None and len(t.len_keys) < len(t.piece_keys)
+    else:
+        assert t.len_keys is None
     got = fsm.entropy_decode_fsm([img])
     from tpujpeg.oracle import decoder as oracle
 

@@ -193,6 +193,36 @@ def main():
     print(f"{'marginal per extra chunk (x2, x4)':<44s} "
           f"{(t2 - t1) * 1e3:7.2f} / {(t4 - t2) / 2 * 1e3:7.2f} ms")
 
+    # -- marginal per-stage real costs: the single-dispatch readings above
+    # carry a ±10 ms floor swing (shared tunnel); dispatching N copies of
+    # ONE stage back-to-back and fencing once isolates its real compute
+    # ((x4 - x1) / 3, the same method the chunk-marginal uses).
+    def stage_marginal(label, call, fetch=None):
+        def run_n(n):
+            outs = [call() for _ in range(n)]
+            return outs[-1]
+        # quiet warm + un-printed x1/x4 (keep the log compact)
+        run_n(1)
+        def best_of(n):
+            best = None
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                out = run_n(n)
+                _fence(out if fetch is None else fetch(out))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+        t1, t4 = best_of(1), best_of(4)
+        print(f"{label + ' (marginal, x4-x1/3)':<44s} "
+              f"{(t4 - t1) / 3 * 1e3:9.2f} ms")
+
+    scan_fn = functools.partial(scan_only, tables=plan.tables)
+    stage_marginal("fsm scan only", lambda: scan_fn(xs, snb))
+    stage_marginal("fsm._decode_jit grp0", lambda: dec(xs, snb))
+    stage_marginal("assemble_batched", lambda: asm(per_lane))
+    stage_marginal("pixel program", lambda: fn(coeffs, qd),
+                   fetch=lambda o: o[0])
+
     # -- upload cost for the scan bytes (all groups)
     hosts = [np.asarray(g[0]) for g in plan.groups]
     nbytes = sum(h.nbytes for h in hosts)

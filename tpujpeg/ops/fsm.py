@@ -154,13 +154,16 @@ class FsmTables:
     tsel: tuple
     comp: tuple
     n_comp: int
-    # Two-level symbol map (TPUJPEG_SYMMAP=1): a per-(table, length)
-    # tree — ~49 leaves instead of ~130 — whose leaf packs
-    # (length << 18 | adj + 0x20000) with g = code + adj a GLOBAL
-    # canonical symbol index, plus symtab ([H][16] nibble grid) looked up
-    # by an MXU one-hot bilinear.  Exhaustively bit-identical to the
-    # piece tree (tools/bench_symbol_map.py); opt-in pending a real-chip
-    # verdict on MXU-in-scan overhead.  None when the flag is off.
+    # Two-level symbol map (PRODUCTION DEFAULT; TPUJPEG_SYMMAP=0 reverts
+    # to the flat piece tree): a per-(table, length) tree — ~49 leaves
+    # instead of ~130 — whose leaf packs (length << 18 | adj + 0x20000)
+    # with g = code + adj a GLOBAL canonical symbol index, plus symtab
+    # ([H][16] nibble grid) looked up by an MXU one-hot bilinear.
+    # Exhaustively bit-identical to the piece tree
+    # (tools/bench_symbol_map.py); measured on the v5e at the production
+    # shape: 204.2 vs 197.5 MB/s headline (+3.4%,
+    # benchmark_results/headline_r3_symmap.json) — the MXU-in-scan
+    # overhead question resolved in the map's favor.  None when off.
     len_keys: tuple = None
     len_vals: tuple = None
     symtab: tuple = None
@@ -243,7 +246,7 @@ _tables_cache: dict = {}
 _tables_lock = threading.Lock()
 
 
-_SYMMAP = os.environ.get("TPUJPEG_SYMMAP") == "1"
+_SYMMAP = os.environ.get("TPUJPEG_SYMMAP", "1") == "1"
 
 
 def _tables_key(img: JpegImage) -> tuple:
@@ -639,9 +642,10 @@ def _fsm_scan(
         tsel = _index_tree(bim, tsel_list)
         tbl = jnp.where(is_dc, tsel, tsel + 2)
         if tables.len_keys is not None:
-            # two-level map: per-(table, length) tree (~2.7x fewer
-            # leaves), then the symbol via an MXU one-hot bilinear over
-            # the nibble grid (FsmTables docstring; opt-in TPUJPEG_SYMMAP)
+            # two-level map (production default): per-(table, length)
+            # tree (~2.7x fewer leaves), then the symbol via an MXU
+            # one-hot bilinear over the nibble grid (FsmTables docstring;
+            # TPUJPEG_SYMMAP=0 reverts to the flat piece tree)
             packed = _bst_tree((tbl << 16) | peek, tables.len_keys,
                                tables.len_vals)
             length = packed >> 18
