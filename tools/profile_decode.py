@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--quality", type=int, default=90)
     ap.add_argument("--rst-rows", type=int, default=1)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--materialize", action="store_true",
+                    help="profile place_events_v3 sub-stage marginals")
     ap.add_argument("--no-split", action="store_true",
                     help="single-group lane packing (min device time)")
     args = ap.parse_args()
@@ -222,6 +224,32 @@ def main():
     stage_marginal("assemble_batched", lambda: asm(per_lane))
     stage_marginal("pixel program", lambda: fn(coeffs, qd),
                    fetch=lambda o: o[0])
+
+    # -- materialize sub-stages (--materialize): cumulative cuts through
+    # place_events_v3 on the REAL event matrix; consecutive differences
+    # give each stage's marginal cost
+    if args.materialize:
+        from tpujpeg.ops import materialize
+
+        @functools.partial(jax.jit, static_argnames=("tables",))
+        def scan_events(xs, snb, *, tables):
+            events, _, _ = fsm._fsm_scan(xs.T, snb, tables)
+            stride, S, L = events.shape
+            return events.reshape(stride * S, L)
+
+        ev = jax.block_until_ready(
+            functools.partial(scan_events, tables=plan.tables)(xs, snb)
+        )
+        M = plan.max_blk * 64
+        print(f"materialize: ev {ev.shape} -> M={M}")
+        for cut in ("init", "compact_fine", "compact", "unpack",
+                    "spread_coarse", None):
+            pe = functools.partial(
+                materialize.place_events_v3, M=M, stop_after=cut
+            )
+            stage_marginal(f"place_events_v3 [{cut or 'full'}]",
+                           lambda pe=pe: pe(ev),
+                           fetch=lambda o: o[0] if isinstance(o, tuple) else o)
 
     # -- upload cost for the scan bytes (all groups)
     hosts = [np.asarray(g[0]) for g in plan.groups]

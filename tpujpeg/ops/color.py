@@ -38,15 +38,15 @@ _F_GY_INV = np.float32(1.0 / C_GY_DIV)
 _F_128 = np.float32(128.0)
 
 
-def color_channels(
+def color_core(
     y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray
 ) -> tuple[list[jnp.ndarray], jnp.ndarray]:
-    """Shared core: int planes -> ([r, g, b] uint8 list, risky bool).
+    """The exact f32 conversion: int planes -> ([r, g, b] int32 in
+    [0, 255], risky bool).
 
-    Channels are returned UNstacked so callers choose the layout: the
-    planar device pipeline stacks them on a LEADING axis (a trailing
-    length-3 minor dim runs at 3/128 VPU lane utilization — measured 3x
-    whole-program cost, PERFORMANCE.md).
+    Kept dtype-neutral (int32 out, no uint8 cast) so the Pallas fused
+    pixel kernel (ops/pixels_pallas.py) and the XLA path share ONE
+    definition of the math the exactness proof covers.
     """
     yf = y.astype(jnp.float32)
     r = _F_RED * cr.astype(jnp.float32) + yf
@@ -61,8 +61,22 @@ def color_channels(
         dist = jnp.abs(shifted - jnp.round(shifted))
         flag = dist < EPS
         risky = flag if risky is None else (risky | flag)
-        rgb.append(jnp.clip(trunc.astype(jnp.int32), 0, 255).astype(jnp.uint8))
+        rgb.append(jnp.clip(trunc.astype(jnp.int32), 0, 255))
     return rgb, risky
+
+
+def color_channels(
+    y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray
+) -> tuple[list[jnp.ndarray], jnp.ndarray]:
+    """Shared core: int planes -> ([r, g, b] uint8 list, risky bool).
+
+    Channels are returned UNstacked so callers choose the layout: the
+    planar device pipeline stacks them on a LEADING axis (a trailing
+    length-3 minor dim runs at 3/128 VPU lane utilization — measured 3x
+    whole-program cost, PERFORMANCE.md).
+    """
+    rgb, risky = color_core(y, cb, cr)
+    return [ch.astype(jnp.uint8) for ch in rgb], risky
 
 
 def ycbcr_to_rgb(

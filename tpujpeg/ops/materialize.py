@@ -315,15 +315,22 @@ def _use_pallas_v3(N: int, M: int, L: int) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("M", "interpret", "kc"))
+@functools.partial(
+    jax.jit, static_argnames=("M", "interpret", "kc", "stop_after")
+)
 def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
-                    kc: int | None = None):
+                    kc: int | None = None, stop_after: str | None = None):
     """events int32 [N, L] (-1 = empty) -> values int16 [M, L].
 
     Windowed Pallas compact + spread (fine stages VMEM-resident, coarse
     stages XLA); bit-exact vs the XLA butterflies
     (tests/test_materialize.py).  `kc` widens the in-kernel stage span
     (see _KC); None uses the env default.
+
+    stop_after: profiling hook (tools/profile_decode.py --materialize):
+    'init' | 'compact_fine' | 'compact' | 'unpack' | 'spread_coarse'
+    return the intermediates at that cut so each stage's marginal cost
+    can be measured on a real chip; None (production) runs everything.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -344,6 +351,8 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
     if Np > N:
         o = jnp.concatenate([o, jnp.full((Np - N, L), -1, jnp.int16)])
         p = jnp.concatenate([p, jnp.zeros((Np - N, L), jnp.int32)])
+    if stop_after == "init":
+        return p, o
 
     # fine compact stages (d < kc*W), Pallas
     n_win_c = Np // W
@@ -370,6 +379,8 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
         interpret=interpret,
     )(*([p] * (k_c + 1) + [o] * (k_c + 1)))
 
+    if stop_after == "compact_fine":
+        return p, o
     # coarse compact stages (d >= kc*W), XLA over the HBM matrix
     d = k_c * W
     while d < Np:
@@ -381,6 +392,8 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
         o = jnp.where(move, so - jnp.int16(d), jnp.where(stay, o, jnp.int16(-1)))
         d *= 2
 
+    if stop_after == "compact":
+        return p, o
     # unpack compacted events -> spread offsets/values (int16)
     cvalid = o >= 0
     blk = (p >> 18) & 0x1FFF
@@ -398,6 +411,8 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
         return x[:Mp]
 
     o2, v = fit(o2, jnp.int16(-1)), fit(v, jnp.int16(0))
+    if stop_after == "unpack":
+        return o2, v
 
     # coarse spread stages (d >= kc*W), XLA
     n_win_s = Mp // W
@@ -415,6 +430,8 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
                        jnp.where(stay, o2, jnp.int16(-1)))
         d //= 2
 
+    if stop_after == "spread_coarse":
+        return o2, v
     # fine spread stages (d < kc*W), Pallas
     cur_s = pl.BlockSpec((W, tile), lambda q, i: (q, i),
                          memory_space=pltpu.VMEM)

@@ -20,6 +20,7 @@ mask and the host repairs with oracle math (see ops/color.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -233,6 +234,55 @@ def decode_subsampled_planes(
     return planes
 
 
+_PIXEL_PALLAS = os.environ.get("TPUJPEG_PIXEL_PALLAS", "1") == "1"
+
+
+def _pixel_pallas_mode(geom: Geometry):
+    """None -> XLA pixel path; False/True -> Pallas kernel (compiled /
+    interpret).  Production gate: three full-resolution components on a
+    real TPU backend (tests monkeypatch this to True for interpret-mode
+    bit-diffs on CPU)."""
+    if not _PIXEL_PALLAS or len(geom.comps) != 3:
+        return None
+    if jax.default_backend() == "tpu":
+        return False
+    return None
+
+
+def _rgb_soa_pallas(
+    geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
+    dc: jnp.ndarray | None, interpret: bool,
+):
+    """Prologue + fused Pallas pixel kernel + unpack (4:4:4 only).
+
+    The prologue's zigzag reorder + SoA transpose is the same single
+    HBM pass `_idct_planar` pays; everything downstream of it (dequant,
+    DC substitution, IDCT, color, risk flags) runs VMEM-resident in
+    ops/pixels_pallas.py instead of as materialized XLA passes.
+    """
+    from .ops.pixels_pallas import (
+        KMAJOR_OF_NATURAL, TILE, rgb_soa_fused, unpack_pixels,
+    )
+
+    n = geom.n_mcus
+    per_mcu = coeffs.reshape(n, 3, 64)
+    zz = per_mcu.transpose(1, 2, 0)  # [3, 64, n_mcus], zigzag rows
+    # zigzag -> natural -> the kernel's k-major row order, one permute
+    perm = jnp.asarray(np.asarray(ZIGZAG_TO_NATURAL)[KMAJOR_OF_NATURAL])
+    zp_km = jnp.take(zz, perm, axis=1).astype(jnp.int16)
+    if dc is None:
+        dcp = zz[:, 0:1, :].astype(jnp.int32)
+    else:
+        dcp = dc.reshape(n, 3).T[:, None, :].astype(jnp.int32)
+    q_km = jnp.take(quant.astype(jnp.int32), perm, axis=1)[:, :, None]
+    pad = (-n) % TILE
+    if pad:
+        zp_km = jnp.pad(zp_km, ((0, 0), (0, 0), (0, pad)))
+        dcp = jnp.pad(dcp, ((0, 0), (0, 0), (0, pad)))
+    rg, bk = rgb_soa_fused(zp_km, q_km, dcp, interpret=interpret)
+    return unpack_pixels(rg[:, :n], bk[:, :n])
+
+
 def _decode_rgb_planar_fused(
     geom: Geometry, coeffs: jnp.ndarray, quant: jnp.ndarray,
     dc: jnp.ndarray | None = None,
@@ -246,13 +296,17 @@ def _decode_rgb_planar_fused(
     kept pixels, and `pack_mask` runs on the cropped mask, so riskbits
     match the plane path bit-for-bit.
     """
-    pix = _idct_planar(geom, coeffs, quant, dc)  # [64, n_comp * n_mcus]
-    n = geom.n_mcus
-    if len(geom.comps) == 1:
-        y, cb, cr = pix, jnp.zeros_like(pix), jnp.zeros_like(pix)
+    mode = _pixel_pallas_mode(geom)
+    if mode is not None:
+        chans, risky = _rgb_soa_pallas(geom, coeffs, quant, dc, mode)
     else:
-        y, cb, cr = pix[:, :n], pix[:, n : 2 * n], pix[:, 2 * n :]
-    chans, risky = color_channels(y, cb, cr)
+        pix = _idct_planar(geom, coeffs, quant, dc)  # [64, n_comp*n_mcus]
+        n = geom.n_mcus
+        if len(geom.comps) == 1:
+            y, cb, cr = pix, jnp.zeros_like(pix), jnp.zeros_like(pix)
+        else:
+            y, cb, cr = pix[:, :n], pix[:, n : 2 * n], pix[:, 2 * n :]
+        chans, risky = color_channels(y, cb, cr)
     rgb = jnp.stack(chans)  # [3, 64, n_mcus]
     rgb = (
         rgb.reshape(3, 8, 8, geom.mcus_y, geom.mcus_x)
