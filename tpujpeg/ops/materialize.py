@@ -196,6 +196,72 @@ def _scalar_mask(cond_i32):
     return jnp.int32(0) - cond_i32
 
 
+def _fine_compact_rank_kernel(*refs, n_win: int, kc: int):
+    """Fine compact with IN-KERNEL rank computation.
+
+    Same routing as `_fine_compact_kernel`, but takes the RAW event
+    stack (window + kc successors) plus one scalar row of window-base
+    ranks and derives the initial offsets itself: for any stack row r,
+    global_rank(r) = w_base[q] + rank_within_stack(r) — the stack-local
+    exclusive prefix already accounts for the full windows between q and
+    r's window, so ONE base row serves the whole stack.  This removes
+    the XLA init pass (a full-matrix cumsum + a 220 MB p/o round-trip,
+    measured 4.8 ms of the 25 ms materialize budget on the v5e) at the
+    cost of ~11 int16 doubling stages in VMEM.
+    """
+    from jax.experimental import pallas as pl
+
+    ev_refs = refs[: kc + 1]
+    base_ref, p_out, o_out = refs[kc + 1], refs[kc + 2], refs[kc + 3]
+    # base_ref holds ALL window base rows [n_win, tile] (a (1, tile)
+    # block would violate Mosaic's 8-sublane block quantum); select this
+    # window's row with a dynamic sublane slice
+    from jax.experimental import pallas as _pl
+    ev = jnp.concatenate([r[:] for r in ev_refs])        # [(kc+1)W, t] int32
+    H = ev.shape[0]
+    W = H // (kc + 1)
+    D = kc * W
+    shift = W.bit_length() - 1
+    q = pl.program_id(0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, ev.shape, 0)
+    # ghost rows: clamped successor windows past the last real window
+    # must not contribute to ranks or emit entries
+    ghost = ~(((q + (pos >> shift)) - n_win) >> 31)
+    valid = (ev >= 0) & (ghost == 0)
+    # stack-local exclusive prefix count of valid rows (int16 doubling;
+    # counts are bounded by the stack height << 32768)
+    rank = valid.astype(jnp.int16)
+    d = 1
+    while d < H:
+        rank = rank + _rolled_down(rank, d, jnp.int16(0))
+        d *= 2
+    # int16 SUB does not lower on this stack (only add/and/or/xor/not);
+    # widen before the exclusive-prefix adjustment
+    rank = rank.astype(jnp.int32) - valid.astype(jnp.int32)
+    # global offset: stack row r sits at global position q*W + r and has
+    # global rank w_base[q] + rank(r), so o = q*W + r - w_base[q] - rank.
+    # base_ref carries the PRE-ADJUSTED w_base[q] - q*W (see caller), so
+    # the kernel needs no q*W term of its own.
+    base = base_ref[_pl.dslice(q, 1), :]                 # [1, t] int32
+    o = jnp.where(valid, pos - rank - base, -1)
+    p = jnp.where(valid, ev, 0)
+    exit_local = pos - (o & (D - 1))
+    keep = (o >= 0) & (exit_local >= 0) & (exit_local < W) & valid
+    o = jnp.where(keep, o, -1)
+    p = jnp.where(keep, p, 0)
+    d = 1
+    while d < D:
+        sp = _rolled(p, d, 0)
+        so = _rolled(o, d, -1)
+        move = (so >= 0) & ((so & d) > 0)
+        stay = (o >= 0) & ((o & d) == 0)
+        p = jnp.where(move, sp, jnp.where(stay, p, 0))
+        o = jnp.where(move, so - d, jnp.where(stay, o, -1))
+        d *= 2
+    p_out[:] = p[:W]
+    o_out[:] = o[:W].astype(jnp.int16)
+
+
 def _fine_compact_kernel(*refs, n_win: int, kc: int):
     """Compact stages d < kc*W on a [(kc+1)W, tile] stack (window + kc
     successors).
@@ -288,11 +354,26 @@ def _fine_spread_kernel(*refs, kc: int):
 # tests cover KC=2/3 explicitly).
 _KC = int(os.environ.get("TPUJPEG_PALLAS_KC", "1"))
 
+# Spread-side stack span.  The v5e A/B (PERFORMANCE.md, r3) split the
+# verdict by network: a wider COMPACT span loses (the rank+routing
+# kernel's extra stack reads cost more than the saved coarse XLA pass)
+# while a wider SPREAD span wins (its kernel is int16-in, lighter per
+# window) — so the spans are independent, compact at _KC=1 and spread
+# at _KS=2 by default.
+_KS = int(os.environ.get("TPUJPEG_PALLAS_KS", "2"))
 
-def _span_for(n_win: int, kc: int | None = None) -> int:
+# Rank-in-kernel fine compact (default on): the initial offsets are
+# derived inside the Pallas kernel from per-window base counts instead
+# of a full-matrix XLA cumsum; TPUJPEG_RANK_KERNEL=0 reverts for A/B.
+_RANK_KERNEL = os.environ.get("TPUJPEG_RANK_KERNEL", "1") == "1"
+
+
+def _span_for(n_win: int, kc: int | None = None, default: int = None) -> int:
     """Clamp the span to a power of two (the in-kernel stage mask
     `o & (kc*W - 1)` needs contiguous bits) that fits the window count."""
-    k = max(1, min(_KC if kc is None else kc, n_win - 1))
+    if default is None:
+        default = _KC
+    k = max(1, min(default if kc is None else kc, n_win - 1))
     p = 1
     while p * 2 <= k:
         p *= 2
@@ -341,20 +422,6 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
     Np = -(-N // W) * W
     Mp = -(-M // W) * W
 
-    # initial offsets: rank = exclusive prefix count of valid entries
-    valid = ev >= 0
-    vi = valid.astype(jnp.int32)
-    rank = jnp.cumsum(vi, axis=0) - vi
-    pos = jax.lax.broadcasted_iota(jnp.int32, ev.shape, 0)
-    o = jnp.where(valid, pos - rank, -1).astype(jnp.int16)
-    p = jnp.where(valid, ev, 0)
-    if Np > N:
-        o = jnp.concatenate([o, jnp.full((Np - N, L), -1, jnp.int16)])
-        p = jnp.concatenate([p, jnp.zeros((Np - N, L), jnp.int32)])
-    if stop_after == "init":
-        return p, o
-
-    # fine compact stages (d < kc*W), Pallas
     n_win_c = Np // W
     k_c = _span_for(n_win_c, kc)
     cur_c = pl.BlockSpec((W, tile), lambda q, i: (q, i),
@@ -367,17 +434,62 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
         for j in range(1, k_c + 1)
     ]
     stack = [cur_c] + succs
-    p, o = pl.pallas_call(
-        functools.partial(_fine_compact_kernel, n_win=n_win_c, kc=k_c),
-        out_shape=(
-            jax.ShapeDtypeStruct((Np, L), jnp.int32),
-            jax.ShapeDtypeStruct((Np, L), jnp.int16),
-        ),
-        grid=(n_win_c, L // tile),
-        in_specs=stack + stack,
-        out_specs=(cur_c, cur_c),
-        interpret=interpret,
-    )(*([p] * (k_c + 1) + [o] * (k_c + 1)))
+
+    if _RANK_KERNEL:
+        # rank-in-kernel: replace the full-matrix cumsum + 220 MB p/o
+        # round-trip with a per-window count pass; the fine kernel
+        # derives offsets from ONE base row per stack (the stack-local
+        # prefix covers the rest — see _fine_compact_rank_kernel)
+        if Np > N:
+            ev = jnp.concatenate(
+                [ev, jnp.full((Np - N, L), -1, jnp.int32)]
+            )
+        w_cnt = (ev >= 0).reshape(n_win_c, W, L).sum(1, dtype=jnp.int32)
+        w_base = jnp.cumsum(w_cnt, axis=0) - w_cnt
+        base_adj = w_base - (
+            jax.lax.iota(jnp.int32, n_win_c) * W
+        )[:, None]
+        if stop_after == "init":
+            return ev, base_adj
+        base_spec = pl.BlockSpec((n_win_c, tile), lambda q, i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        p, o = pl.pallas_call(
+            functools.partial(
+                _fine_compact_rank_kernel, n_win=n_win_c, kc=k_c
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((Np, L), jnp.int32),
+                jax.ShapeDtypeStruct((Np, L), jnp.int16),
+            ),
+            grid=(n_win_c, L // tile),
+            in_specs=stack + [base_spec],
+            out_specs=(cur_c, cur_c),
+            interpret=interpret,
+        )(*([ev] * (k_c + 1) + [base_adj]))
+    else:
+        # initial offsets: rank = exclusive prefix count of valid entries
+        valid = ev >= 0
+        vi = valid.astype(jnp.int32)
+        rank = jnp.cumsum(vi, axis=0) - vi
+        pos = jax.lax.broadcasted_iota(jnp.int32, ev.shape, 0)
+        o = jnp.where(valid, pos - rank, -1).astype(jnp.int16)
+        p = jnp.where(valid, ev, 0)
+        if Np > N:
+            o = jnp.concatenate([o, jnp.full((Np - N, L), -1, jnp.int16)])
+            p = jnp.concatenate([p, jnp.zeros((Np - N, L), jnp.int32)])
+        if stop_after == "init":
+            return p, o
+        p, o = pl.pallas_call(
+            functools.partial(_fine_compact_kernel, n_win=n_win_c, kc=k_c),
+            out_shape=(
+                jax.ShapeDtypeStruct((Np, L), jnp.int32),
+                jax.ShapeDtypeStruct((Np, L), jnp.int16),
+            ),
+            grid=(n_win_c, L // tile),
+            in_specs=stack + stack,
+            out_specs=(cur_c, cur_c),
+            interpret=interpret,
+        )(*([p] * (k_c + 1) + [o] * (k_c + 1)))
 
     if stop_after == "compact_fine":
         return p, o
@@ -416,7 +528,7 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
 
     # coarse spread stages (d >= kc*W), XLA
     n_win_s = Mp // W
-    k_s = _span_for(n_win_s, kc)
+    k_s = _span_for(n_win_s, kc, default=_KS)
     d = 1
     while d * 2 < Mp:
         d *= 2
