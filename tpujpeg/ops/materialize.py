@@ -18,18 +18,24 @@ out (~28 round-trips -> 1).  Two kernels keep the working set under the
   * `_spread_kernel`: compacted events -> values int16 at rows
     64*block + zigzag of [M, 128].
 
-STATUS (round 2): an opt-in experiment (`TPUJPEG_PALLAS=1`).  On the
-real v5e (jax 0.9) Mosaic rejected three building blocks in turn —
-rotate on int16 ("Rotate with non-32-bit data"; worked around with
-slice+concat shifts), 16-bit iota (worked around via int32+convert), and
-finally 16-bit vector comparisons ("Target does not support this
-comparison"), whose int32-cast workaround pushes the per-stage working
-set past the ~16 MB VMEM budget at production shapes (VMEM quantizes the
-lane dimension to 128, so narrower tiles do not shrink the footprint).
-The XLA butterflies meanwhile measure near HBM speed after the int16
-narrowing (~40 ms/chunk), bounding the achievable win.  The kernels stay
-correct in interpret mode (tests/test_materialize.py) as the starting
-point for a future Mosaic version; the XLA path is the production one.
+STATUS (round 3+): the **v3 windowed kernels below (`place_events_v3`,
+line ~400) are the PRODUCTION DEFAULT on TPU** (`TPUJPEG_PALLAS_V3`
+defaults on; measured `_decode_jit` 80 -> 37 ms/chunk on the v5e,
+PERFORMANCE.md).  v3 runs the fine butterfly stages (d < W=1024)
+VMEM-resident on [2W, 128] window stacks with int32 in-kernel compute +
+int16 HBM storage; the ~3 coarse stages (d >= W) stay XLA.
+
+The v1 full-height kernels in the first half of this file remain an
+opt-in experiment (`TPUJPEG_PALLAS=1`), kept because they document the
+Mosaic lowering limits that shaped v3: on the real v5e (jax 0.9) Mosaic
+rejected rotate on int16 ("Rotate with non-32-bit data"; worked around
+with slice+concat shifts), 16-bit iota (worked around via
+int32+convert), and 16-bit vector comparisons ("Target does not support
+this comparison"), whose int32-cast workaround pushes v1's full-height
+working set past the ~16 MB VMEM budget at production shapes (VMEM
+quantizes the lane dimension to 128, so narrower tiles do not shrink
+the footprint) — hence v3's windowing.  Both kernel families are diffed
+bit-for-bit against the XLA butterflies (tests/test_materialize.py).
 """
 
 from __future__ import annotations
