@@ -10,8 +10,18 @@ commented-out output writes; end-to-end throughput on this rig is
 tunnel-capped (PERFORMANCE.md) — the point here is ENGINE STABILITY:
 flat MB/s and flat RSS across windows.
 
+Per window TWO throughputs are reported (VERDICT r3 weak #5: wall-clock
+windows swung 1.67-26.2 MB/s of pure tunnel noise):
+
+  * device_MBps — the regression signal: the window's chunks staged on
+    device first (outside the timed region, the reference's own
+    methodology), then the fused decode timed behind one fence;
+  * MBps — end-to-end wall-clock through BatchDecoder.decode, which on
+    this rig is tunnel-capped (~45 MB/s shared link); reported for
+    honesty, not stability judgment.
+
   python tools/bench_sustained.py --images 3000 --size 500 \
-      --out benchmark_results/sustained_r3.jsonl
+      --out benchmark_results/sustained_r4.jsonl
 """
 
 from __future__ import annotations
@@ -81,12 +91,38 @@ def main(argv=None) -> int:
     # warm compile on the first window's worth
     dec.decode(datas[: args.chunk], fetch=False)
 
+    # device-only windows need the FSM path (uniform geometry); the
+    # mixed-size / host runs keep wall-clock only
+    device_windows = args.backend == "fsm" and not args.mixed_sizes
+    if device_windows:
+        import jax
+
+        from bench import stage_device_chunks, run_device_chunks
+        from tpujpeg.io.parser import parse
+
     records = []
     win = -(-len(datas) // args.windows)
     for w in range(args.windows):
         part = datas[w * win : (w + 1) * win]
         if not part:
             break
+        dev_mbps = None
+        if device_windows:
+            # stage the window's chunks (upload excluded, the reference's
+            # kernel-only methodology), then time the fused decode behind
+            # one fence — the engine/regression signal
+            imgs = [parse(d) for d in part]
+            chunks, pixel_fn, geom = stage_device_chunks(imgs, args.chunk)
+            if w == 0:  # compile
+                np.asarray(jax.device_get(
+                    run_device_chunks(chunks, pixel_fn, geom, args.chunk)))
+            t0 = time.perf_counter()
+            fence = int(np.asarray(jax.device_get(
+                run_device_chunks(chunks, pixel_fn, geom, args.chunk))))
+            dt_dev = time.perf_counter() - t0
+            assert fence < (1 << 23), "FSM error lanes in sustained window"
+            dev_mbps = round(sum(map(len, part)) / dt_dev / 1e6, 2)
+            del chunks
         t0 = time.perf_counter()
         dec.decode(part, fetch=False)
         dt = time.perf_counter() - t0
@@ -94,6 +130,7 @@ def main(argv=None) -> int:
             "window": w,
             "images": len(part),
             "compressed_MB": round(sum(map(len, part)) / 1e6, 2),
+            "device_MBps": dev_mbps,
             "MBps": round(sum(map(len, part)) / dt / 1e6, 2),
             "rss_MB": round(_rss_mb(), 1),
             "backend": dec.stats.backend,
@@ -102,7 +139,7 @@ def main(argv=None) -> int:
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    mbps = [r["MBps"] for r in records]
+    mbps = [r["device_MBps"] or r["MBps"] for r in records]
     rss = [r["rss_MB"] for r in records]
     summary = {
         "metric": "sustained_batch",
@@ -112,9 +149,16 @@ def main(argv=None) -> int:
             if args.mixed_sizes else f"{args.size}^2"
         ),
         "windows": len(records),
+        "window_metric": (
+            "device_MBps" if records[-1]["device_MBps"] else "MBps"
+        ),
         "MBps_mean": round(float(np.mean(mbps)), 2),
         "MBps_min": round(float(np.min(mbps)), 2),
         "MBps_max": round(float(np.max(mbps)), 2),
+        "window_spread_pct": round(
+            100 * (float(np.max(mbps)) - float(np.min(mbps)))
+            / max(float(np.mean(mbps)), 1e-9), 1
+        ),
         "rss_first_MB": rss[0],
         "rss_last_MB": rss[-1],
         "rss_growth_MB": round(rss[-1] - rss[0], 1),
