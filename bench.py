@@ -121,7 +121,7 @@ def _encode(arr: np.ndarray, quality: int, rst_rows: int) -> bytes:
     return buf.getvalue()
 
 
-def stage_device_chunks(imgs, chunk: int):
+def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
     """Pack + stage a batch's chunks on device (kernel-only methodology).
 
     Returns (chunks, pixel_fn, geom): per chunk, scan bytes and quant
@@ -130,6 +130,13 @@ def stage_device_chunks(imgs, chunk: int):
     the headline benchmark and the sustained run (per-window device-only
     MB/s — VERDICT r3 weak #5: wall-clock windows measured the ~45 MB/s
     tunnel, not the engine).
+
+    superchunk groups up to that many consecutive restart chunks into ONE
+    wide-scan program (runtime/fused.decode_superchunk): the scan's
+    per-column cost is strongly sub-linear in lanes (scan_scaling_r4), so
+    one 4x-wide scan cuts the per-chunk scan share ~21 -> ~11 ms while
+    the HBM-bound stages keep their proven width on slices.  Pass 1 to
+    disable (per-chunk fused programs, the r3 shape).
     """
     import jax
     import jax.numpy as jnp
@@ -137,12 +144,42 @@ def stage_device_chunks(imgs, chunk: int):
     from tpujpeg.errors import JpegError
     from tpujpeg.ops import fsm
     from tpujpeg.pipeline import Geometry
+    from tpujpeg.runtime import fused
     from tpujpeg.runtime.batch import _stride_key
     from tpujpeg.parallel import sharding as _sharding
 
     geom = Geometry.of(imgs[0])
     imgs = sorted(imgs, key=_stride_key)
     chunks = []
+    pend_plans, pend_quants, pend_parts = [], [], []
+
+    def flush_super():
+        if not pend_plans:
+            return
+        if len(pend_plans) == 1:
+            xs, sn = pend_plans[0].groups[0]
+            chunks.append((
+                "chunk",
+                (jax.device_put(jnp.asarray(xs)),
+                 jax.device_put(jnp.asarray(sn))),
+                jax.device_put(jnp.asarray(pend_quants[0])),
+                pend_plans[0],
+                pend_parts[0],
+            ))
+        else:
+            xs, sn, _sub = fused.pack_superchunk(pend_plans)
+            chunks.append((
+                "super",
+                (jax.device_put(jnp.asarray(xs)),
+                 jax.device_put(jnp.asarray(sn))),
+                jax.device_put(jnp.asarray(np.stack(pend_quants))),
+                list(pend_plans),
+                list(pend_parts),
+            ))
+        pend_plans.clear()
+        pend_quants.clear()
+        pend_parts.clear()
+
     for j in range(0, len(imgs), chunk):
         part = imgs[j : j + chunk]
         quant = np.stack(
@@ -158,18 +195,25 @@ def stage_device_chunks(imgs, chunk: int):
             # scan bytes are device-resident in this methodology, so pack
             # for minimum device time (one group, one scan dispatch)
             plan = fsm.build_plan(part, split=False)
-            xs, sn = plan.groups[0]
-            uploaded = (
-                jax.device_put(jnp.asarray(xs)),
-                jax.device_put(jnp.asarray(sn)),
-            )
         except JpegError:
             # outside the restart-lane envelope (e.g. rst-rows 0): the
             # speculative equal-split path, scan bytes pre-staged
+            flush_super()
             splan = fsm.build_spec_plan_batch(part)
-            uploaded = (jax.device_put(jnp.asarray(splan.xs)), None)
-            plan = splan
-        chunks.append((uploaded, jax.device_put(jnp.asarray(quant)), plan, part))
+            chunks.append((
+                "spec",
+                (jax.device_put(jnp.asarray(splan.xs)), None),
+                jax.device_put(jnp.asarray(quant)),
+                splan,
+                part,
+            ))
+            continue
+        pend_plans.append(plan)
+        pend_quants.append(quant)
+        pend_parts.append(part)
+        if len(pend_plans) == max(1, superchunk):
+            flush_super()
+    flush_super()
 
     pixel_fn = _sharding.compiled_batch_decoder(
         geom, _sharding.make_mesh(n_stripe=1)
@@ -189,28 +233,53 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
     from tpujpeg.runtime import fused
 
     fences = []
-    for uploaded, q_d, plan, part in chunks:
-        if isinstance(plan, fsm.SpecBatchPlan):
-            # no-restart streams: batched speculative decode
-            # (device-resident), then the pixel program
-            coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
-                part, device_out=True, pad_to=chunk,
-                plan=plan, xs_dev=uploaded[0],
-            )
-            rgb, _risk, _tot = pixel_fn(coeffs, q_d)
-            bad = (jnp.any(err_mal) | jnp.any(err_env)).astype(jnp.int32)
-            fences.append(rgb[0, 0, 0, 0].astype(jnp.int32) + (bad << 24))
-            continue
-        # ONE program per chunk (runtime/fused.py): FSM + butterfly
-        # materialization + assemble + pixel stages fused
-        rgb, _risk, _c, _dc, err_mal, err_env, _st = fused.decode_chunk_fused(
-            plan, q_d, geom, chunk, uploaded=uploaded, want_coeffs=False,
-        )
+
+    def fence(rgb, err_mal, err_env):
         # fold the FSM error bits into the fence: a nonzero high bit in
         # the warm-up sum means the K=2 envelope (or the stream) failed
         # and the timing would be meaningless
         bad = (jnp.any(err_mal) | jnp.any(err_env)).astype(jnp.int32)
         fences.append(rgb[0, 0, 0, 0].astype(jnp.int32) + (bad << 24))
+
+    # phase 1: dispatch every spec chunk's Jacobi converge back-to-back,
+    # so each chunk's quota fetch (the one host round-trip of the spec
+    # path) overlaps the other chunks' device work instead of stalling
+    # the loop (~30 ms/chunk of tunnel latency otherwise)
+    pendings = {
+        i: fsm.spec_start(part, plan=plan, xs_dev=uploaded[0])
+        for i, (kind, uploaded, _q, plan, part) in enumerate(chunks)
+        if kind == "spec"
+    }
+
+    for i, (kind, uploaded, q_d, plan, part) in enumerate(chunks):
+        if kind == "spec":
+            # no-restart streams: batched speculative decode
+            # (device-resident), then the pixel program
+            coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
+                part, device_out=True, pad_to=chunk,
+                plan=plan, xs_dev=uploaded[0], pending=pendings[i],
+            )
+            rgb, _risk, _tot = pixel_fn(coeffs, q_d)
+            fence(rgb, err_mal, err_env)
+        elif kind == "super":
+            # N chunks, ONE wide scan + per-chunk HBM stages, all fused
+            rgb, _risk, _c, _dc, err_mal, err_env, _st = (
+                fused.decode_superchunk(
+                    plan, q_d, geom, chunk, uploaded=uploaded,
+                    want_coeffs=False,
+                )
+            )
+            fence(rgb, err_mal, err_env)
+        else:
+            # ONE program per chunk (runtime/fused.py): FSM + butterfly
+            # materialization + assemble + pixel stages fused
+            rgb, _risk, _c, _dc, err_mal, err_env, _st = (
+                fused.decode_chunk_fused(
+                    plan, q_d, geom, chunk, uploaded=uploaded,
+                    want_coeffs=False,
+                )
+            )
+            fence(rgb, err_mal, err_env)
     return jnp.stack(fences).sum()
 
 
@@ -228,6 +297,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=64,
                     help="chunk size for the device-only headline (wider "
                          "chunks amortize the scan's serial columns)")
+    ap.add_argument("--superchunk", type=int, default=4,
+                    help="restart chunks per wide-scan program (1 = the "
+                         "r3 per-chunk fused shape)")
     ap.add_argument("--chunk-e2e", type=int, default=32,
                     help="chunk size for the end-to-end engine metric "
                          "(smaller chunks pipeline better over the tunnel)")
@@ -267,7 +339,9 @@ def main():
         import numpy as np_
 
         imgs = [parse(d) for d in datas]
-        chunks, pixel_fn, geom = stage_device_chunks(imgs, args.chunk)
+        chunks, pixel_fn, geom = stage_device_chunks(
+            imgs, args.chunk, superchunk=args.superchunk
+        )
 
         def run_device():
             return run_device_chunks(chunks, pixel_fn, geom, args.chunk)

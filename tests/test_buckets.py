@@ -116,6 +116,96 @@ def test_bucketed_skip_mode_isolates_bad_stream():
         np.testing.assert_array_equal(out[i], ref.astype(np.uint8))
 
 
-def test_size_buckets_rejects_fsm_backend():
-    with pytest.raises(ValueError):
-        BatchDecoder(backend="fsm", size_buckets=True)
+# ---------------------------------------------------------------------------
+# FSM-backend buckets (round 4): the fused device bucket program
+# ---------------------------------------------------------------------------
+
+
+def _mesh1():
+    from tpujpeg.parallel import sharding
+
+    return sharding.make_mesh(n_batch=1, n_stripe=1)
+
+
+def _rst_row_aligned(shape, seed, quality=90):
+    """4:4:4 restart JPEG with ri == mcus_x (k=1, row-aligned)."""
+    from conftest import make_jpeg_rst
+
+    return make_jpeg_rst(
+        shape=shape, quality=quality, rst_interval=-(-shape[1] // 8),
+        seed=seed,
+    )
+
+
+def test_bucketed_fsm_mixed_sizes_match_oracle():
+    shapes = [(64, 80), (60, 88), (57, 41), (120, 56), (48, 64), (64, 80)]
+    datas = [_rst_row_aligned(s, seed=i) for i, s in enumerate(shapes)]
+    dec = BatchDecoder(
+        backend="fsm", size_buckets=True, chunk_size=4, mesh=_mesh1()
+    )
+    out = dec.decode(datas)
+    assert "fsm-bucketed" in dec.stats.backend, dec.stats.backend
+    for data, got in zip(datas, out):
+        ref = oracle.decode(parse(data))
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref.astype(np.uint8))
+
+
+def test_bucketed_fsm_non_aligned_restarts_fall_back():
+    # restart interval NOT a multiple of mcus_x: outside the bucket-FSM
+    # envelope -> host-bucketed fallback, still exact, no error raised
+    from conftest import make_jpeg_rst
+
+    datas = [
+        make_jpeg_rst(shape=(64, 80), rst_interval=3, seed=1),
+        make_jpeg_rst(shape=(60, 88), rst_interval=3, seed=2),
+    ]
+    dec = BatchDecoder(
+        backend="fsm", size_buckets=True, chunk_size=4, mesh=_mesh1()
+    )
+    out = dec.decode(datas)
+    assert "host-bucketed" in dec.stats.backend
+    for data, got in zip(datas, out):
+        ref = oracle.decode(parse(data))
+        np.testing.assert_array_equal(got, ref.astype(np.uint8))
+
+
+def test_bucketed_fsm_compile_count_bounded():
+    # many distinct sizes in one bucket class -> ONE fused bucket compile
+    from tpujpeg.runtime import fused
+
+    shapes = [(64, 80), (60, 88), (50, 80), (64, 82), (58, 86), (52, 84)]
+    datas = [_rst_row_aligned(s, seed=i) for i, s in enumerate(shapes)]
+    dec = BatchDecoder(
+        backend="fsm", size_buckets=True, chunk_size=6, mesh=_mesh1()
+    )
+    before = fused.compiled_fused_bucketed.cache_info().currsize
+    out = dec.decode(datas)
+    after = fused.compiled_fused_bucketed.cache_info().currsize
+    assert "fsm-bucketed" in dec.stats.backend
+    assert after - before <= 1
+    assert all(o is not None for o in out)
+    # decode a second, different mix of the same bucket: zero new compiles
+    datas2 = [_rst_row_aligned(s, seed=10 + i)
+              for i, s in enumerate([(62, 78), (54, 86)])]
+    out2 = dec.decode(datas2)
+    assert fused.compiled_fused_bucketed.cache_info().currsize == after
+    for data, got in zip(datas2, out2):
+        ref = oracle.decode(parse(data))
+        np.testing.assert_array_equal(got, ref.astype(np.uint8))
+
+
+def test_bucketed_fsm_mixed_k_splits_chunks():
+    # k=1 and k=2 images of one bucket class land in separate chunks and
+    # both decode exactly
+    from conftest import make_jpeg_rst
+
+    d1 = _rst_row_aligned((64, 80), seed=1)                    # k=1
+    d2 = make_jpeg_rst(shape=(60, 88), rst_interval=22, seed=2)  # k=2
+    dec = BatchDecoder(
+        backend="fsm", size_buckets=True, chunk_size=4, mesh=_mesh1()
+    )
+    out = dec.decode([d1, d2])
+    for data, got in zip([d1, d2], out):
+        ref = oracle.decode(parse(data))
+        np.testing.assert_array_equal(got, ref.astype(np.uint8))

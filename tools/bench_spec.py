@@ -123,10 +123,26 @@ def main():
 
         t_full = timed_best(full, iters=args.iters)
 
-        # exactness spot check
-        coeffs = np.asarray(jax.device_get(full()))
+        # exactness spot check + write-pass error masks (production folds
+        # these into the chunk fence; an unchecked latched lane here
+        # explains an inexact result, not a silent bug)
+        coeffs, (em, ee) = fsm.decode_speculative_batch(
+            imgs, cb, device_out=True, pad_to=args.images,
+            plan=plan, xs_dev=xs_dev,
+        )
+        em_h, ee_h = (np.asarray(jax.device_get(x)) for x in (em, ee))
+        coeffs = np.asarray(jax.device_get(coeffs))
         nb0 = int(plan.img_blocks[0])
         ok = bool(np.array_equal(coeffs[0, :nb0], want0))
+        bad_imgs = []
+        if not ok:
+            for ii in range(args.images):
+                w = oracle.entropy_decode(imgs[ii])
+                nbi = int(plan.img_blocks[ii])
+                if not np.array_equal(coeffs[ii, :nbi], w):
+                    bad_imgs.append(ii)
+                if len(bad_imgs) >= 4:
+                    break
 
         rec = dict(
             chunk_bytes=cb, lanes=int(plan.n_lanes), L_padded=L,
@@ -136,6 +152,9 @@ def main():
             full_entropy_ms=round(t_full * 1e3, 1),
             entropy_MBps=round(comp / t_full / 1e6, 1),
             exact=ok,
+            write_err_mal=int(em_h.sum()),
+            write_err_env=int(ee_h.sum()),
+            bad_imgs=bad_imgs,
         )
         records.append(rec)
         print(json.dumps(rec))

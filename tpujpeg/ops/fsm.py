@@ -118,6 +118,28 @@ def steps_below_safe(steps) -> bool:
 INVALID_LEN = 31    # code length marking the invalid top gap of a table
 
 
+def _selfcheck_enabled(N: int, M: int, L: int) -> bool:
+    """Whether _decode_jit verifies materialization with the in-program
+    checksum (see the miscompile note there).  Default: exactly when the
+    butterflies run as plain XLA passes on a TPU backend — the
+    empirically miscompile-prone configuration; the Pallas v3 path pins
+    the event matrix as a kernel operand and has never shown the bug.
+    TPUJPEG_SELFCHECK=1/0 forces it on/off everywhere."""
+    mode = os.environ.get("TPUJPEG_SELFCHECK", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from . import materialize
+
+    return not (
+        materialize._use_pallas_v3(N, M, L)
+        or materialize._use_pallas(N, M, L)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side table compilation
 # ---------------------------------------------------------------------------
@@ -521,6 +543,111 @@ def build_plan(imgs: list[JpegImage], split: bool = True) -> FsmPlan:
     )
 
 
+@dataclass(frozen=True)
+class FsmBucketPlan:
+    """Bucket-raster lane plan: recompile-free mixed-size FSM decode.
+
+    Every image contributes exactly `lanes_per_img` lanes (zero-quota
+    padding lanes beyond its real rows); each lane covers `k` MCU rows of
+    its image and emits events at bucket-raster output positions
+    (pad_info counters in the scan), so per_lane rows ARE the bucket's
+    padded layout and assembly is one static reshape — the jitted
+    program's key carries only bucket-level statics, never per-image
+    layouts.  Requires row-aligned restart intervals (ri == k * mcus_x,
+    the --rst-rows dataset prep); the batch engine keys chunks on
+    (bucket, k) and routes anything else to the host-bucketed path.
+    """
+
+    xs: np.ndarray            # uint8 [L, stride]
+    seg_n: np.ndarray         # int32 [L] real-block quotas
+    wrap_at: np.ndarray       # int32 [L] blocks per real MCU row
+    skip: np.ndarray          # int32 [L] padding slots after each row
+    tables: FsmTables
+    k: int                    # MCU rows per lane (uniform across chunk)
+    lanes_per_img: int        # uniform lane count per image
+    max_blk: int              # k * bucket.mcus_x * bpm (lane capacity)
+    extents: np.ndarray       # int32 [n_imgs, 2] true (mcus_y, mcus_x)
+    n_imgs: int
+
+
+def bucket_lane_k(img: JpegImage) -> int | None:
+    """MCU rows per restart segment, or None when not row-aligned."""
+    ri = img.restart_interval
+    if not ri or ri % img.mcus_x:
+        return None
+    if img.segment_offsets.size < -(-img.n_mcus // ri):
+        return None  # missing restart segments
+    return ri // img.mcus_x
+
+
+def build_plan_bucketed(imgs: list[JpegImage], bucket) -> FsmBucketPlan:
+    """Pack a mixed-size chunk into bucket-raster lanes (see FsmBucketPlan).
+
+    `bucket` is the size-class Geometry (pipeline.bucket_geometry); every
+    image must fit it, share tables/subsampling, and have the same
+    row-aligned restart k.  Raises JpegError otherwise (callers fall back
+    to the host-bucketed path).
+    """
+    tables = build_tables(imgs[0])
+    pattern0 = imgs[0].mcu_block_pattern()
+    bpm = len(pattern0)
+    k = bucket_lane_k(imgs[0])
+    if k is None:
+        raise JpegError("fsm-bucket: restart interval not row-aligned")
+    lanes_per_img = -(-bucket.mcus_y // k)
+    max_blk = k * bucket.mcus_x * bpm
+    if max_blk > MAX_BLOCKS_PER_LANE:
+        raise JpegError("fsm-bucket: bucket row capacity overflows events")
+
+    seg_bytes: list[np.ndarray] = []
+    quotas: list[int] = []
+    wraps: list[int] = []
+    skips: list[int] = []
+    extents = np.zeros((len(imgs), 2), np.int32)
+    for ii, img in enumerate(imgs):
+        if img.mcu_block_pattern() != pattern0 or build_tables(img) != tables:
+            raise JpegError("fsm: batch mixes subsampling or Huffman tables")
+        if bucket_lane_k(img) != k:
+            raise JpegError("fsm-bucket: mixed restart row counts")
+        if img.mcus_x > bucket.mcus_x or img.mcus_y > bucket.mcus_y:
+            raise JpegError("fsm-bucket: image exceeds its bucket")
+        ri = k * img.mcus_x
+        need = -(-img.n_mcus // ri)
+        if need > lanes_per_img:
+            raise JpegError("fsm-bucket: image exceeds bucket row count")
+        offs = img.segment_offsets
+        ends = np.append(offs[1:need], img.scan_data.size)
+        scan = img.scan_data
+        extents[ii] = (img.mcus_y, img.mcus_x)
+        for s in range(lanes_per_img):
+            if s < need:
+                seg_bytes.append(scan[int(offs[s]) : int(ends[s])])
+                quotas.append(min(ri, img.n_mcus - s * ri) * bpm)
+            else:
+                seg_bytes.append(np.zeros(0, np.uint8))
+                quotas.append(0)
+            wraps.append(max(img.mcus_x * bpm, 1))
+            skips.append((bucket.mcus_x - img.mcus_x) * bpm)
+
+    n_real = len(seg_bytes)
+    stride = _stride_bucket(max(max(b.size for b in seg_bytes), 64))
+    L = _round_up(max(n_real, 8), 128)
+    xs = np.zeros((L, stride), np.uint8)
+    for row, b in enumerate(seg_bytes):
+        xs[row, : b.size] = b
+    seg_n = np.zeros(L, np.int32)
+    seg_n[:n_real] = quotas
+    wrap_at = np.ones(L, np.int32)
+    wrap_at[:n_real] = wraps
+    skip = np.zeros(L, np.int32)
+    skip[:n_real] = skips
+    return FsmBucketPlan(
+        xs=xs, seg_n=seg_n, wrap_at=wrap_at, skip=skip, tables=tables,
+        k=k, lanes_per_img=lanes_per_img, max_blk=max_blk,
+        extents=extents, n_imgs=len(imgs),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Select-tree primitives (constant tables, no memory ops)
 # ---------------------------------------------------------------------------
@@ -570,6 +697,7 @@ def _fsm_scan(
     start_bim=None,
     chunk_bits=None,
     steps=STEPS_PRODUCTION,
+    pad_info=None,
 ):
     """Run the symbol FSM over byte columns.
 
@@ -586,6 +714,16 @@ def _fsm_scan(
     refills interleaved with the symbol steps (schedule below).  They
     require restart mode (start_bits None; the speculative path's partial
     first take is per-byte).
+
+    `pad_info` (optional, int32 [L] pair `(wrap_at, skip)`): bucket-raster
+    emission for size-class bucketed decode.  The event's block index
+    becomes an OUTPUT position that skips `skip` slots after every
+    `wrap_at` completed blocks (one padded MCU row of the bucket grid),
+    so the butterflies place coefficients directly into the bucket-padded
+    per-lane layout and assembly stays a static reshape.  Targets remain
+    strictly increasing, so the networks stay collision-free.  Quotas and
+    error logic still count REAL blocks.  Costs ~4 vector ops per symbol
+    step; not traced at all when None.
 
     Returns (events int32 [n_cols, steps_per_col, L],
              (err_malformed, err_envelope) bool [L], state).
@@ -623,7 +761,7 @@ def _fsm_scan(
 
     def symbol_step(st):
         (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
-         end_bits, end_bim) = st
+         end_bits, end_bim, *padst) = st
         active = ~done & ~err_mal & ~err_env
 
         # ---- peek the next 16 bits, padding past end-of-buffer with 1s.
@@ -689,7 +827,10 @@ def _fsm_scan(
         z = jnp.where(is_dc, zero, k + run)
         emit = complete & (size > 0)
         err_mal = err_mal | (emit & ~is_dc & (z > 63))
-        event = jnp.where(emit, (blk << 18) | (z << 12) | (val + 2048),
+        # pad mode: the event's block field is the bucket-raster OUTPUT
+        # position (oblk), not the real block count
+        eblk = padst[1] if padst else blk
+        event = jnp.where(emit, (eblk << 18) | (z << 12) | (val + 2048),
                           jnp.int32(-1))
 
         k2 = jnp.where(complete,
@@ -712,6 +853,22 @@ def _fsm_scan(
         # ---- block / segment bookkeeping
         block_end = (complete & (k2 >= 64)) | eob_fire
         blk2 = blk + block_end.astype(jnp.int32)
+        if padst:
+            # bucket-raster output counters: after `wrap_at` blocks of a
+            # padded MCU row, jump `skip` positions (the bucket's column
+            # padding); oblk stays strictly increasing
+            ocol, oblk = padst
+            wrap_at, skip = pad_info
+            ocol2 = ocol + block_end.astype(jnp.int32)
+            wrapped = ocol2 >= wrap_at
+            padst = (
+                jnp.where(wrapped, 0, ocol2),
+                oblk + jnp.where(
+                    block_end,
+                    jnp.where(wrapped, skip + 1, 1),
+                    0,
+                ),
+            )
         bim2 = jnp.where(block_end,
                          jnp.where(bim + 1 == bpm, 0, bim + 1), bim)
         k3 = jnp.where(block_end, 0, k2)
@@ -738,7 +895,7 @@ def _fsm_scan(
         k4 = jnp.where(dc0_fire, 1, k3)
 
         return (buf, navail, bitpos, k4, blk2, bim2, done2, err_mal, err_env,
-                end_bits, end_bim), event
+                end_bits, end_bim, *padst), event
 
     # Per-column schedule: one 8-bit refill before each step sub-batch.
     # bpc>1 interleaves refill(byte b), k_b steps per byte — the per-byte
@@ -758,7 +915,7 @@ def _fsm_scan(
         for b, kb in enumerate(ks):
             byte = (colv >> (8 * (bpc - 1 - b))) & 0xFF
             (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
-             end_bits, end_bim) = st
+             end_bits, end_bim, *padst) = st
             active = ~done & ~err_mal & ~err_env
             refill = active & (col < n_data_cols)
             if start_bits is None:
@@ -773,7 +930,7 @@ def _fsm_scan(
             buf = (buf << take) | (byte & ((1 << take) - 1))
             navail = navail + take
             st = (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
-                  end_bits, end_bim)
+                  end_bits, end_bim, *padst)
             for _ in range(kb):
                 st, ev = symbol_step(st)
                 events.append(ev)
@@ -792,6 +949,8 @@ def _fsm_scan(
         zero,                                    # end_bits
         zero if start_bim is None else start_bim,    # end_bim
     )
+    if pad_info is not None:
+        init = init + (zero, zero)               # ocol, oblk
     cols = jnp.arange(xs.shape[0], dtype=jnp.int32)
     st, events = jax.lax.scan(body, init, (cols, xs))
     # A lane undone at end of data is either truncated (it consumed its
@@ -942,6 +1101,35 @@ def _resolve_dc(per_lane: jnp.ndarray, tables: FsmTables, max_blk: int):
     return jnp.concatenate([dc_new[:, :, None], per_lane[:, :, 1:]], axis=2)
 
 
+def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray):
+    """_materialize_events + the in-program checksum self-check.
+
+    Verifies that every packed event's value landed at its target row:
+    sum(val * (target + 1)) over the event stream must equal
+    sum(value * (row + 1)) over the dense tensor, per lane, in int32
+    wraparound arithmetic.  A mismatch latches err_mal for the lane, so
+    the caller's existing fallback machinery turns a miscompiled (or
+    otherwise corrupted) materialization into a host redecode instead of
+    silent wrong output (see the XLA:TPU miscompile note in _decode_jit;
+    the check runs exactly when the plain-XLA butterflies are active —
+    _selfcheck_enabled).  Also catches events whose target exceeds M.
+    Returns (coeffs_t [M, L] int16/int32, err_mal)."""
+    coeffs_t = _materialize_events(ev, M)
+    if _selfcheck_enabled(ev.shape[0], M, ev.shape[1]):
+        valid = ev >= 0
+        val = jnp.where(valid, (ev & 0xFFF) - 2048, 0)
+        tgt = jnp.where(
+            valid, ((ev >> 18) & 0x1FFF) * 64 + ((ev >> 12) & 63), 0
+        )
+        chk_ev = jnp.sum(val * (tgt + 1), axis=0, dtype=jnp.int32)
+        w = (jnp.arange(M, dtype=jnp.int32) + 1)[:, None]
+        chk_mat = jnp.sum(
+            coeffs_t.astype(jnp.int32) * w, axis=0, dtype=jnp.int32
+        )
+        err_mal = err_mal | (chk_ev != chk_mat)
+    return coeffs_t, err_mal
+
+
 def _materialize_events(ev: jnp.ndarray, M: int) -> jnp.ndarray:
     """Packed events [N, L] -> dense coefficient rows [M, L].
 
@@ -986,6 +1174,7 @@ def _decode_jit(
     start_bim=None,
     dc_diff: bool = False,
     steps=STEPS_PRODUCTION,
+    pad_info=None,
 ):
     """FSM + butterflies: (per_lane int32 [L, max_blk, 64], err bool [L]).
 
@@ -994,16 +1183,32 @@ def _decode_jit(
     assembly into [n_blocks, 64] is a cheap layout-keyed step on top.
     The optional start state serves the speculative-split path; dc_diff
     leaves DC as raw differences for it (restart mode resolves DPCM with
-    the per-lane cumsum).
+    the per-lane cumsum).  pad_info (runtime int32 [L] pair) emits
+    bucket-raster output positions (see _fsm_scan).
     """
     events, (err_mal, err_env), scan_state = _fsm_scan(
         xs.T, seg_n_blocks, tables,  # [L, stride] -> scan layout, on device
         start_bits=start_bits, start_bim=start_bim, steps=steps,
+        pad_info=pad_info,
     )
     stride, S, L = events.shape
+    # XLA:TPU MISCOMPILE HAZARD (found round 4, v5e, jax 0.9): the fused
+    # scan+XLA-butterfly program at [L=5392, stride=2432], M=32768
+    # silently ZEROED scattered events (~57-block spacing) that the same
+    # scan's events materialize correctly in a standalone program; all
+    # error lanes stayed clear, and an optimization_barrier between the
+    # stages did NOT help (returning any slice of `ev` as a jit output
+    # did — pure fusion voodoo).  Two defenses below: (1) these shapes
+    # now take the Pallas v3 path (lanes padded to 128, M gate widened),
+    # whose kernel call pins the event matrix as a real operand; (2) a
+    # per-lane value*position checksum compares the event stream against
+    # the materialized tensor INSIDE the program and latches err_mal on
+    # mismatch, so any residual miscompile becomes a host fallback, never
+    # silent corruption.
     ev = events.reshape(stride * S, L)
     M = max_blk * 64
-    coeffs_t = _materialize_events(ev, M).astype(jnp.int32)
+    coeffs_t, err_mal = materialize_checked(ev, M, err_mal)
+    coeffs_t = coeffs_t.astype(jnp.int32)
     per_lane = coeffs_t.T.reshape(L, max_blk, 64)
     if not dc_diff:
         per_lane = _resolve_dc(per_lane, tables, max_blk)
@@ -1222,7 +1427,10 @@ def build_spec_plan(img: JpegImage, chunk_bytes: int = 2048) -> SpecPlan:
     S = max(1, -(-scan.size // chunk_bytes))
     n_blocks = img.n_mcus * img.blocks_per_mcu
     stride = chunk_bytes + SPEC_OVERLAP
-    L = _round_up(S, 8)
+    # lanes pad to 128 so the Pallas v3 materialize path is eligible
+    # (its lane tiles are 128-wide; the XLA fallback butterflies have a
+    # fused-program miscompile hazard — see _decode_jit)
+    L = _round_up(S, 128)
     xs = np.zeros((L, stride), np.uint8)
     chunk_bits = np.zeros(L, np.int32)
     for i in range(S):
@@ -1280,7 +1488,9 @@ def build_spec_plan_batch(
         lanes.append(S)
         blocks.append(img.n_mcus * img.blocks_per_mcu)
         total += S
-    L = _round_up(total, 8)
+    # lanes pad to 128: keeps the Pallas v3 materialize path eligible
+    # (see build_spec_plan note / the _decode_jit miscompile hazard)
+    L = _round_up(total, 128)
     xs = np.zeros((L, stride), np.uint8)
     chunk_bits = np.zeros(L, np.int32)
     for img, first, S in zip(imgs, firsts, lanes):
@@ -1366,6 +1576,60 @@ def _spec_fetch_pack(blocks, err_mal, err_env, changed, countable):
     return jnp.concatenate([blocks, flags])
 
 
+@dataclass
+class SpecPending:
+    """In-flight speculative chunk: converge + fetch-pack dispatched, not
+    yet fetched.  Lets callers start several chunks' Jacobi fixed points
+    back-to-back so each chunk's ~30 ms quota fetch overlaps the next
+    chunk's device work instead of stalling the dispatch loop."""
+
+    plan: SpecBatchPlan
+    xs: object          # device scan bytes
+    sb: object          # device start bits (converged)
+    sm: object          # device start phases
+    packed: object      # device [L+3]: per-lane blocks + 3 flag ints
+    steps: object
+
+
+def spec_start(
+    imgs: list[JpegImage],
+    chunk_bytes: int = 2048,
+    max_iters: int | None = None,
+    plan: SpecBatchPlan | None = None,
+    xs_dev=None,
+    steps=STEPS_PRODUCTION,
+) -> SpecPending:
+    """Dispatch a spec chunk's Jacobi converge + quota pack (non-blocking)."""
+    if plan is None:
+        plan = build_spec_plan_batch(imgs, chunk_bytes)
+    T = plan.n_lanes
+    L = plan.chunk_bits.shape[0]
+    xs = xs_dev if xs_dev is not None else jnp.asarray(plan.xs)
+    cbits = jnp.asarray(plan.chunk_bits)
+    # a padding/first lane never inherits a predecessor's end state
+    inherit = np.ones(L, bool)
+    inherit[plan.img_first] = False
+    inherit[T:] = False
+
+    iters = max_iters or int(plan.img_lanes.max()) + 1
+    sb, sm, blocks, err_mal_c, err_env_c, changed, _, _ = _spec_converge_jit(
+        xs, cbits, jnp.asarray(inherit), jnp.int32(iters),
+        tables=plan.tables, blk_cap=plan.blk_cap, steps=steps,
+    )
+    # Count-mode latches on an image's LAST lane are benign (with no
+    # quota it runs past the true end into the stream's byte padding;
+    # block counts stay correct because the latch happens after the last
+    # boundary), so only body lanes classify — last-lane problems surface
+    # as quota inconsistency or through the write pass.
+    countable = np.ones(L, bool)
+    countable[T:] = False
+    countable[plan.img_first + plan.img_lanes - 1] = False
+    packed = _spec_fetch_pack(
+        blocks, err_mal_c, err_env_c, changed, jnp.asarray(countable)
+    )
+    return SpecPending(plan, xs, sb, sm, packed, steps)
+
+
 def decode_speculative_batch(
     imgs: list[JpegImage],
     chunk_bytes: int = 2048,
@@ -1375,6 +1639,7 @@ def decode_speculative_batch(
     plan: SpecBatchPlan | None = None,
     xs_dev=None,
     steps=STEPS_PRODUCTION,
+    pending: SpecPending | None = None,
 ):
     """Entropy-decode a batch of no-restart streams via speculative split.
 
@@ -1401,45 +1666,23 @@ def decode_speculative_batch(
     fence.  The return is a device array [pad_to or B, n_blocks, 64]
     ready for the pixel program.
     """
-    if plan is None:
-        plan = build_spec_plan_batch(imgs, chunk_bytes)
+    if pending is None:
+        pending = spec_start(
+            imgs, chunk_bytes, max_iters, plan, xs_dev, steps
+        )
+    plan, xs, sb, sm = pending.plan, pending.xs, pending.sb, pending.sm
+    steps = pending.steps
     if device_out and len(set(int(nb) for nb in plan.img_blocks)) != 1:
-        # checked BEFORE the device passes: a mixed-geometry batch must
-        # not pay the fixed point + write pass just to raise
         raise JpegError("device_out requires a uniform-geometry batch")
     T = plan.n_lanes
     L = plan.chunk_bits.shape[0]
-    xs = xs_dev if xs_dev is not None else jnp.asarray(plan.xs)
-    cbits = jnp.asarray(plan.chunk_bits)
-    # a padding/first lane never inherits a predecessor's end state
-    inherit = np.ones(L, bool)
-    inherit[plan.img_first] = False
-    inherit[T:] = False
-
-    iters = max_iters or int(plan.img_lanes.max()) + 1
-    sb, sm, blocks, err_mal_c, err_env_c, changed, _, _ = _spec_converge_jit(
-        xs, cbits, jnp.asarray(inherit), jnp.int32(iters),
-        tables=plan.tables, blk_cap=plan.blk_cap, steps=steps,
-    )
     # THE one host round-trip of the chunk: per-lane block counts + the
     # count-pass error classification + the convergence flag, together.
-    # sb/sm stay on device for the write pass.  Count-mode latches on an
-    # image's LAST lane are benign (with no quota it runs past the true
-    # end into the stream's byte padding; block counts stay correct
-    # because the latch happens after the last boundary), so only body
-    # lanes classify — last-lane problems surface as quota inconsistency
-    # or through the write pass, which stops at its quota.
-    countable = np.ones(L, bool)
-    countable[T:] = False
-    countable[plan.img_first + plan.img_lanes - 1] = False
-    fetched = np.asarray(
-        jax.device_get(
-            _spec_fetch_pack(
-                blocks, err_mal_c, err_env_c, changed,
-                jnp.asarray(countable),
-            )
-        )
-    )
+    # sb/sm stay on device for the write pass.  Callers that start
+    # several chunks via spec_start before finishing any (bench
+    # run_device_chunks, the batch engine) hide this fetch behind the
+    # other chunks' device work.
+    fetched = np.asarray(jax.device_get(pending.packed))
     blocks_h = fetched[:L]
     any_mal, any_env, changed_h = (int(v) for v in fetched[L : L + 3])
     if changed_h:

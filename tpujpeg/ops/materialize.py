@@ -393,10 +393,15 @@ def _use_pallas_v3(N: int, M: int, L: int) -> bool:
         return False
     Np = -(-N // _W) * _W
     Mp = -(-M // _W) * _W
-    # int16 offsets bound both spaces; lane dim must tile by 128; the
-    # windowed kernels need at least two windows each
+    # int16 offsets bound both spaces (an offset reaches at most
+    # Np-1 / Mp-1 = 32767, exactly int16 max, so <= not <); lane dim
+    # must tile by 128; the windowed kernels need two windows each.
+    # Keeping the gate as wide as int16 allows matters beyond speed:
+    # the fall-back XLA butterflies fused behind the scan have a real
+    # XLA:TPU miscompile at some shapes (fsm._decode_jit note), which
+    # the Pallas call structure avoids.
     return (
-        Np < 32768 and Mp < 32768
+        Np <= 32768 and Mp <= 32768
         and L % LANE_TILE == 0
         and Np >= 2 * _W and Mp >= 2 * _W
     )

@@ -151,6 +151,7 @@ class _Chunk:
     coeffs: np.ndarray | None = None   # [B, n_blocks, 64] int32 (host backend)
     coeffs_dev: object = None          # device coeffs (fsm backend)
     dc_dev: object = None              # resolved DC [B, n_blocks] (fused fsm)
+    spec_pending: object = None        # fsm.SpecPending (prepared spec chunk)
     uploaded: object = None            # staged device scan bytes (K retry)
     uploaded_plan: object = None       # fsm.upload_plan result (all groups)
     plan: object = None                # FsmPlan (fsm backend, for K retry)
@@ -187,13 +188,18 @@ class BatchDecoder:
         pixel program compiles once per bucket, and outputs crop back to
         each image's true size on host — the recompile-free answer to the
         reference's runtime-value dims (cuda-decoder/src/parser.cu:324-331).
-        Bucketed chunks run the host-entropy (cudaH-style) path, so the
-        backend must be host-capable (auto/host/oracle)."""
+        Bucketed chunks whose images carry row-aligned restart intervals
+        (ri == k * mcus_x, the --rst-rows dataset prep) run the fused
+        device-FSM bucket program when the backend prefers the FSM
+        (fsm/auto-on-slow-link): one compile per (bucket, k), per-image
+        extents as runtime vectors (runtime/fused.compiled_fused_bucketed).
+        Everything else (no/unaligned restarts, oracle/host backends,
+        multi-device meshes) runs the host-entropy bucketed path."""
         if backend not in ("auto", "host", "fsm", "gather", "oracle", "cpu"):
             raise ValueError(f"unknown backend {backend!r}")
-        if size_buckets and backend not in ("auto", "host", "oracle"):
+        if size_buckets and backend not in ("auto", "host", "oracle", "fsm"):
             raise ValueError(
-                "size_buckets requires a host-capable backend (auto/host/oracle)"
+                "size_buckets requires backend auto/host/oracle/fsm"
             )
         self.backend = backend
         self.size_buckets = size_buckets
@@ -238,20 +244,31 @@ class BatchDecoder:
 
     # -- decode -------------------------------------------------------------
 
-    def _chunk_key(self, geom: Geometry) -> Geometry:
-        """Chunk grouping key: exact geometry, or its size-class bucket."""
+    def _chunk_key(self, img: JpegImage) -> tuple:
+        """Chunk grouping key; element [0] is always the chunk Geometry.
+
+        size_buckets groups by size-class bucket; when the FSM path will
+        take bucketed chunks, the key also carries the restart row count
+        k (or None) so each chunk is uniform for the fused bucket
+        program (one compile per (bucket, k))."""
+        geom = Geometry.of(img)
         if self.size_buckets:
             from ..pipeline import bucket_geometry
 
-            return bucket_geometry(geom)
-        return geom
+            b = bucket_geometry(geom)
+            if self._prefers_fsm():
+                from ..ops.fsm import bucket_lane_k
+
+                return (b, bucket_lane_k(img))
+            return (b,)
+        return (geom,)
 
     def _make_chunks(self, imgs: list[JpegImage]) -> list[_Chunk]:
-        buckets: dict[Geometry, list[int]] = {}
+        buckets: dict[tuple, list[int]] = {}
         for i, img in enumerate(imgs):
-            buckets.setdefault(self._chunk_key(Geometry.of(img)), []).append(i)
+            buckets.setdefault(self._chunk_key(img), []).append(i)
         chunks = []
-        for geom, idxs in buckets.items():
+        for (geom, *_rest), idxs in buckets.items():
             # Stride-sorted chunking: the FSM scan serializes one column
             # per byte of the LONGEST restart segment in a chunk, and the
             # butterfly matrices scale with the same stride — grouping
@@ -464,6 +481,12 @@ class BatchDecoder:
         geom = chunk.geom
         B = self._pad_batch()
         chunk.steps = steps if steps is not None else fsm.STEPS_PRODUCTION
+        # a STEPS_SAFE retry (or a cold chunk) has no prepared pending;
+        # a prepared one was started at production steps only
+        pending = None
+        if chunk.spec_pending is not None and steps is None:
+            pending = chunk.spec_pending
+        chunk.spec_pending = None
         try:
             # one Jacobi fixed point for the WHOLE chunk (a single device
             # dispatch + ONE quota/flag fetch), then the dense tensor
@@ -471,7 +494,8 @@ class BatchDecoder:
             # one row gather (index built on device) and DC resolves with
             # the per-image cumsum
             coeffs_dev, (err_mal, err_env) = fsm.decode_speculative_batch(
-                chunk.imgs, device_out=True, pad_to=B, steps=chunk.steps
+                chunk.imgs, device_out=True, pad_to=B, steps=chunk.steps,
+                pending=pending,
             )
         except fsm.SpecEnvelopeError:
             if not fsm.steps_below_safe(chunk.steps):
@@ -493,8 +517,8 @@ class BatchDecoder:
 
     def _prefers_fsm(self) -> bool:
         """Whether this decoder routes chunks to the device FSM first."""
-        if self.size_buckets or self.backend == "cpu":
-            return False  # no device FSM on these paths
+        if self.backend == "cpu":
+            return False  # no device on this path
         if self.backend == "fsm":
             return True
         if self.backend != "auto":
@@ -513,16 +537,79 @@ class BatchDecoder:
         reference's pipe2 producer/consumer idea at host level).  Returns
         (plan, uploaded_plan) or the JpegError (callers route those chunks
         to the speculative path)."""
+        import jax.numpy as jnp_
+
         from ..ops import fsm
 
         try:
+            if chunk.bucketed:
+                plan = fsm.build_plan_bucketed(chunk.imgs, chunk.geom)
+                up = tuple(
+                    jax.device_put(jnp_.asarray(a))
+                    for a in (plan.xs, plan.seg_n, plan.wrap_at, plan.skip)
+                )
+                return plan, up
             plan = fsm.build_plan(
                 chunk.imgs,
                 split=measured_link_mbps() < _LINK_MBPS_FSM_THRESHOLD,
             )
-        except JpegError as e:
-            return e
+        except JpegError:
+            # restart-lane packing impossible: this chunk will take the
+            # speculative path — dispatch its Jacobi converge NOW so the
+            # quota fetch overlaps other chunks' device work
+            try:
+                pend = fsm.spec_start(chunk.imgs)
+                return ("spec", pend)
+            except JpegError as e2:
+                return e2
         return plan, fsm.upload_plan(plan)
+
+    def _process_chunk_fsm_bucketed(self, chunk: _Chunk, steps=None) -> bool:
+        """Fused device-FSM decode of a size-class bucket chunk (mixed
+        exact geometries, one compile per (bucket, k)): scan bytes up,
+        bucket-raster FSM emission, static assemble, bucketed pixel
+        program with runtime extents.  Returns False when the chunk is
+        outside the bucket-FSM envelope (no/unaligned restarts, exotic
+        tables, multi-device mesh) so the caller falls back to the
+        host-bucketed path."""
+        from ..ops import fsm
+        from . import fused
+
+        if self.mesh.devices.size != 1:
+            return False  # fused program is single-device
+        chunk.steps = steps if steps is not None else fsm.STEPS_PRODUCTION
+        if chunk.plan is None and chunk.plan_future is not None:
+            res = chunk.plan_future.result()
+            chunk.plan_future = None
+            if not isinstance(res, JpegError):
+                chunk.plan, chunk.uploaded = res
+        if chunk.plan is None:
+            try:
+                chunk.plan = fsm.build_plan_bucketed(chunk.imgs, chunk.geom)
+            except JpegError:
+                return False
+        plan = chunk.plan
+        if chunk.uploaded is None:
+            chunk.uploaded = tuple(
+                jax.device_put(jnp.asarray(a))
+                for a in (plan.xs, plan.seg_n, plan.wrap_at, plan.skip)
+            )
+        B = self._pad_batch()
+        rgb, risk, coeffs, dc, err_mal, err_env, _ = (
+            fused.decode_chunk_bucketed(
+                plan, jnp.asarray(self._quant_block(chunk, B)),
+                chunk.geom, B, self.fancy, chunk.steps,
+                uploaded=chunk.uploaded, want_coeffs=self.strict,
+            )
+        )
+        chunk.out = (rgb, risk, None)
+        chunk.coeffs_dev = coeffs
+        chunk.dc_dev = dc
+        chunk.err_mal = err_mal
+        chunk.err_env = err_env
+        chunk.fence = _pack_fence(rgb, err_mal, err_env)
+        chunk.backend = "fsm-bucketed"
+        return True
 
     def _process_chunk_fsm(self, chunk: _Chunk, steps=None) -> bool:
         """Fully device-resident: scan bytes up, FSM decode, device-side
@@ -533,10 +620,15 @@ class BatchDecoder:
         tables, oversized segments) so the caller can fall back."""
         from ..ops import fsm
 
+        if chunk.bucketed:
+            return self._process_chunk_fsm_bucketed(chunk, steps)
         if chunk.plan is None and chunk.plan_future is not None:
             res = chunk.plan_future.result()
             chunk.plan_future = None
             if isinstance(res, JpegError):
+                return self._process_chunk_spec(chunk)
+            if isinstance(res, tuple) and res[0] == "spec":
+                chunk.spec_pending = res[1]
                 return self._process_chunk_spec(chunk)
             chunk.plan, chunk.uploaded_plan = res
         if chunk.plan is not None:
@@ -663,6 +755,11 @@ class BatchDecoder:
             return
         if self.backend == "fsm":
             if not self._process_chunk_fsm(chunk):
+                if chunk.bucketed:
+                    # mixed-size corpus with non-FSM-able chunks (no or
+                    # unaligned restarts): host-bucketed, not an error
+                    self._process_chunk_host(chunk, isolate=isolate)
+                    return
                 raise JpegError("fsm: chunk outside the FSM decode envelope")
             return
         if self.backend == "auto":
@@ -747,13 +844,17 @@ class BatchDecoder:
                     # spec path — _process_chunk_fsm would rebuild a
                     # restart plan they cannot have)
                     n_k += 1
-                    retried = (
-                        self._process_chunk_spec(chunk, steps=_fsm.STEPS_SAFE)
-                        if chunk.backend == "fsm-spec"
-                        else self._process_chunk_fsm(
+                    if chunk.backend == "fsm-spec":
+                        retried = self._process_chunk_spec(
                             chunk, steps=_fsm.STEPS_SAFE
                         )
-                    )
+                    else:
+                        # restart and bucketed chunks both re-run through
+                        # _process_chunk_fsm (it routes bucketed chunks),
+                        # reusing the packed plan + staged scan bytes
+                        retried = self._process_chunk_fsm(
+                            chunk, steps=_fsm.STEPS_SAFE
+                        )
                     if retried:
                         flags = np.asarray(jax.device_get(chunk.fence))
                         mal, env = bool(flags[1]), bool(flags[2])
@@ -903,9 +1004,9 @@ class BatchDecoder:
                 self._dispatch_chunk(c, isolate)
                 t_ent += time.perf_counter() - t0
 
-        def flush(geom, idxs, ims):
+        def flush(key, idxs, ims):
             chunk = _Chunk(
-                geom, list(idxs), list(ims), bucketed=self.size_buckets
+                key[0], list(idxs), list(ims), bucketed=self.size_buckets
             )
             idxs.clear()
             ims.clear()
@@ -923,15 +1024,15 @@ class BatchDecoder:
             pos_of.append(i)
             j = n_parsed
             n_parsed += 1
-            geom = self._chunk_key(Geometry.of(res))
-            idxs, ims = buckets.setdefault(geom, ([], []))
+            key = self._chunk_key(res)
+            idxs, ims = buckets.setdefault(key, ([], []))
             idxs.append(j)
             ims.append(res)
             if len(idxs) == self.chunk_size:
-                flush(geom, idxs, ims)
-        for geom, (idxs, ims) in buckets.items():
+                flush(key, idxs, ims)
+        for key, (idxs, ims) in buckets.items():
             if idxs:
-                flush(geom, idxs, ims)
+                flush(key, idxs, ims)
         drain(block=True)
 
         out = self._finish(chunks, n_parsed, t_start, t_ent, fetch, isolate)
