@@ -297,9 +297,14 @@ def main():
     ap.add_argument("--chunk", type=int, default=64,
                     help="chunk size for the device-only headline (wider "
                          "chunks amortize the scan's serial columns)")
-    ap.add_argument("--superchunk", type=int, default=4,
-                    help="restart chunks per wide-scan program (1 = the "
-                         "r3 per-chunk fused shape)")
+    ap.add_argument("--superchunk", type=int, default=1,
+                    help="restart chunks per wide-scan program.  Measured "
+                         "a WASH on the v5e (40.1 vs 39.4 ms/chunk, "
+                         "tools/profile_fused.py): the standalone scan "
+                         "probe that predicted a win had its event buffer "
+                         "optimized away (DCE), and inside the real "
+                         "program the scan is throughput-bound in lanes. "
+                         "Kept selectable for other chips.")
     ap.add_argument("--chunk-e2e", type=int, default=32,
                     help="chunk size for the end-to-end engine metric "
                          "(smaller chunks pipeline better over the tunnel)")

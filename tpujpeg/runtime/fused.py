@@ -74,6 +74,7 @@ def compiled_fused_decoder(
     fancy: bool = False,
     steps=fsm.STEPS_PRODUCTION,
     want_coeffs: bool = True,
+    stop_after: str | None = None,
 ):
     """One jitted program: scan bytes [L, stride] -> rgb + risk + errors.
 
@@ -87,6 +88,12 @@ def compiled_fused_decoder(
     and saves their HBM writes (jit outputs cannot be dead-code
     eliminated).  scan_state is surfaced because XLA:CPU miscompiles
     scans with dead carry outputs (fsm._fsm_scan NB).
+
+    stop_after: profiling hook ('scan' | 'materialize' | 'assemble') —
+    truncates the program after that stage and returns a checksum that
+    CONSUMES the stage's full output (so XLA cannot dead-code-eliminate
+    or narrow it; a sliced fence measured a scan whose event buffer had
+    been optimized away — tools/profile_fused.py).
     """
 
     def run(xs, seg_n_blocks, quant):
@@ -95,14 +102,23 @@ def compiled_fused_decoder(
         )
         stride, S, L = events.shape
         ev = events.reshape(stride * S, L)
+        if stop_after == "scan":
+            return ev.sum(), err_mal, err_env, scan_state
         M = max_blk * 64
         coeffs_t, err_mal = fsm.materialize_checked(ev, M, err_mal)
+        if stop_after == "materialize":
+            return coeffs_t.astype(jnp.int32).sum(), err_mal, err_env, scan_state
         per_lane = coeffs_t.T.reshape(L, max_blk, 64)
         dc_lane = fsm._dc_cumsum(
             per_lane[:, :, 0].astype(jnp.int32), tables, max_blk
         )
         coeffs = _assemble_rows(per_lane, layout, pad_to)   # [B, nb, 64]
         dc = _assemble_rows(dc_lane, layout, pad_to)        # [B, nb] int32
+        if stop_after == "assemble":
+            return (
+                coeffs.astype(jnp.int32).sum() + dc.sum(),
+                err_mal, err_env, scan_state,
+            )
         rgb, risk = jax.vmap(
             lambda c, d, q: device_decode_fn(geom, c, q, fancy=fancy, dc=d)
         )(coeffs, dc, quant)
