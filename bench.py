@@ -199,7 +199,7 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
             # outside the restart-lane envelope (e.g. rst-rows 0): the
             # speculative equal-split path, scan bytes pre-staged
             flush_super()
-            splan = fsm.build_spec_plan_batch(part)
+            splan = fsm.build_spec_plan_batch(part, 1024)
             chunks.append((
                 "spec",
                 (jax.device_put(jnp.asarray(splan.xs)), None),
@@ -241,24 +241,29 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
         bad = (jnp.any(err_mal) | jnp.any(err_env)).astype(jnp.int32)
         fences.append(rgb[0, 0, 0, 0].astype(jnp.int32) + (bad << 24))
 
-    # phase 1: dispatch every spec chunk's Jacobi converge back-to-back,
-    # so each chunk's quota fetch (the one host round-trip of the spec
-    # path) overlaps the other chunks' device work instead of stalling
-    # the loop (~30 ms/chunk of tunnel latency otherwise)
+    # phase 1: dispatch every spec chunk's cold scan back-to-back, so
+    # each chunk's quota fetch (the one host round-trip of the spec path)
+    # overlaps the other chunks' device work instead of stalling the loop
+    # (~30 ms/chunk of tunnel latency otherwise)
     pendings = {
-        i: fsm.spec_start(part, plan=plan, xs_dev=uploaded[0])
+        i: fsm.spec_sync_start(part, plan=plan, xs_dev=uploaded[0])
         for i, (kind, uploaded, _q, plan, part) in enumerate(chunks)
         if kind == "spec"
     }
 
     for i, (kind, uploaded, q_d, plan, part) in enumerate(chunks):
         if kind == "spec":
-            # no-restart streams: batched speculative decode
-            # (device-resident), then the pixel program
-            coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
-                part, device_out=True, pad_to=chunk,
-                plan=plan, xs_dev=uploaded[0], pending=pendings[i],
-            )
+            # no-restart streams: single-pass sync-log speculative decode
+            # (device-resident); Jacobi fixed point on a resolve miss
+            try:
+                coeffs, (err_mal, err_env) = fsm.decode_speculative_sync(
+                    part, device_out=True, pad_to=chunk, pending=pendings[i],
+                )
+            except fsm.SpecSyncMiss:
+                coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
+                    part, device_out=True, pad_to=chunk,
+                    plan=plan, xs_dev=uploaded[0],
+                )
             rgb, _risk, _tot = pixel_fn(coeffs, q_d)
             fence(rgb, err_mal, err_env)
         elif kind == "super":

@@ -75,7 +75,9 @@ def test_batch_fsm_backend_large_no_restart_uses_speculative():
     dec = BatchDecoder(backend="fsm", chunk_size=1)
     got = dec.decode([data])
     np.testing.assert_array_equal(got[0], expected([data])[0])
-    assert dec.stats.backend == "fsm-spec"
+    # primary: single-pass sync-log path; Jacobi only on a resolve miss
+    assert dec.stats.backend in ("fsm-spec-sync", "fsm-spec")
+    assert dec.stats.backend == "fsm-spec-sync" or dec.stats.spec_sync_misses
 
 
 def test_batch_no_fetch(batch_data):

@@ -104,6 +104,102 @@ def test_spec_envelope_error_and_safe_retry():
     np.testing.assert_array_equal(got, oracle.entropy_decode(img))
 
 
+# ---------------------------------------------------------------------------
+# Single-pass sync-log path (round 4): adopt cold events via anchor match
+# ---------------------------------------------------------------------------
+
+
+def test_spec_sync_matches_oracle():
+    imgs = [
+        parse(make_jpeg(shape=(64, 80), quality=88, seed=s))
+        for s in (3, 4, 5, 6)
+    ]
+    got = fsm.decode_speculative_sync(
+        imgs, chunk_bytes=CHUNK, device_out=False
+    )
+    for g, img in zip(got, imgs):
+        np.testing.assert_array_equal(g, oracle.entropy_decode(img))
+
+
+def test_spec_sync_device_out_matches_oracle():
+    import jax
+
+    imgs = [
+        parse(
+            make_jpeg(
+                shape=(64, 80), quality=85 + (s % 3) * 5, seed=s,
+                smooth=(s % 2 == 0),
+            )
+        )
+        for s in range(6)
+    ]
+    coeffs, (err_a, err_b) = fsm.decode_speculative_sync(
+        imgs, chunk_bytes=CHUNK, device_out=True, pad_to=8
+    )
+    assert not bool(jax.device_get((err_a | err_b).any()))
+    dev = np.asarray(jax.device_get(coeffs))
+    assert dev.shape[0] == 8
+    for bi, img in enumerate(imgs):
+        np.testing.assert_array_equal(dev[bi], oracle.entropy_decode(img))
+    assert not dev[6:].any()
+
+
+def test_spec_sync_noise_stream():
+    # noise maximizes symbol density AND garbles cold prefixes; the sync
+    # resolve must still adopt (self-synchronization) or fall back loudly
+    imgs = [
+        parse(make_jpeg(shape=(48, 64), quality=92, seed=7, smooth=False))
+    ]
+    try:
+        got = fsm.decode_speculative_sync(
+            imgs, chunk_bytes=CHUNK, device_out=False
+        )
+    except fsm.SpecSyncMiss:
+        pytest.skip("cold decode did not self-sync on this content")
+    np.testing.assert_array_equal(
+        got[0], oracle.entropy_decode(imgs[0])
+    )
+
+
+def test_spec_sync_truncated_falls_out():
+    # a truncated stream must raise (miss or envelope), never return
+    # silently wrong coefficients
+    img = parse(make_jpeg(shape=(64, 80), quality=88, seed=3))
+    img.scan_data = img.scan_data[: img.scan_data.size // 2].copy()
+    with pytest.raises(JpegError):
+        fsm.decode_speculative_sync([img], chunk_bytes=CHUNK,
+                                    device_out=False)
+
+
+def test_spec_sync_miss_fallback_in_engine(monkeypatch):
+    # a forced resolve miss must fall back to the Jacobi path inside the
+    # engine, count in stats, and stay bit-exact
+    import os
+
+    from tpujpeg.runtime.batch import BatchDecoder
+    from conftest import FIXTURES
+
+    path = os.path.join(FIXTURES, "4_800x600.jpg")
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    with open(path, "rb") as f:
+        data = f.read()
+
+    real = fsm.decode_speculative_sync
+
+    def miss(*a, **k):
+        raise fsm.SpecSyncMiss("forced")
+
+    monkeypatch.setattr(fsm, "decode_speculative_sync", miss)
+    dec = BatchDecoder(backend="fsm", chunk_size=1)
+    got = dec.decode([data])
+    monkeypatch.setattr(fsm, "decode_speculative_sync", real)
+    assert dec.stats.backend == "fsm-spec"
+    assert dec.stats.spec_sync_misses == 1
+    ref = oracle.decode(parse(data))
+    np.testing.assert_array_equal(got[0], ref.astype(np.uint8))
+
+
 def test_spec_batch_device_out_wide():
     # wider-than-toy shape: 8 images, mixed smooth/noise content, padded
     # batch, device-resident output (quota row-gather + device DPCM +

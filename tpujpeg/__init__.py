@@ -22,14 +22,27 @@ __all__ = [
 ]
 
 
-def decode(data, backend: str = "tpu", fancy: bool = False):
+def decode(data, backend: str = "auto", fancy: bool = False):
     """Decode a JPEG (path or bytes) to an int32 [H, W, 3] RGB array.
+
+    backend='auto' (default) routes SINGLE-image decodes to the native
+    C++ decoder when it is available: one image cannot amortize even one
+    device dispatch (~28 ms behind a tunnel, ~5 ms on PCIe, while the
+    native decode of a 200^2 image takes ~1 ms — the latency column the
+    reference's cudaH variant wins at 3.5 ms, BASELINE.md), and both
+    paths are bit-exact so the answer is identical.  Batch throughput
+    belongs to decode_batch / BatchDecoder, which amortizes dispatches
+    across chunks.  backend='tpu' forces the device pipeline.
 
     fancy=True selects libjpeg-style triangle chroma upsampling for
     subsampled (4:2:0/4:2:2/4:4:0) streams; default is box, matching the
     reference's 4:4:4-only contract extended by replication.
     """
     img = parse_file(data) if isinstance(data, str) else parse(data)
+    if backend == "auto":
+        from .runtime import host
+
+        backend = "cpu" if host._load_native() is not None else "tpu"
     if backend == "oracle":
         from .oracle import decoder as oracle
 

@@ -24,11 +24,18 @@ def _cmd_decode(args) -> int:
 
     img = parse_file(args.input)
     t0 = time.perf_counter()
-    if args.backend == "oracle":
+    backend = args.backend
+    if backend == "auto":
+        # single-image latency routing (see tpujpeg.decode): native C++
+        # when available — one image cannot amortize a device dispatch
+        from .runtime import host as _host
+
+        backend = "cpu" if _host._load_native() is not None else "tpu"
+    if backend == "oracle":
         from .oracle import decoder as oracle
 
         rgb = oracle.decode(img, fancy=args.fancy_upsampling)
-    elif args.backend == "cpu":
+    elif backend == "cpu":
         from .runtime import host
 
         rgb = host.decode_cpu(img, fancy=args.fancy_upsampling)
@@ -112,8 +119,11 @@ def main(argv=None) -> int:
     d.add_argument("input")
     d.add_argument("-o", "--output", default=None)
     d.add_argument(
-        "--backend", choices=["tpu", "cpu", "oracle"], default="tpu",
-        help="tpu = device pipeline; cpu = complete native C++ decoder "
+        "--backend", choices=["auto", "tpu", "cpu", "oracle"],
+        default="auto",
+        help="auto = native C++ when available (single decodes cannot "
+             "amortize a device dispatch; both paths are bit-exact); "
+             "tpu = device pipeline; cpu = force the native C++ decoder "
              "(entropy + pixels, OpenMP); oracle = NumPy reference",
     )
     d.add_argument(

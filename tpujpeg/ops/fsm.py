@@ -698,6 +698,7 @@ def _fsm_scan(
     chunk_bits=None,
     steps=STEPS_PRODUCTION,
     pad_info=None,
+    log_anchors: bool = False,
 ):
     """Run the symbol FSM over byte columns.
 
@@ -714,6 +715,28 @@ def _fsm_scan(
     refills interleaved with the symbol steps (schedule below).  They
     require restart mode (start_bits None; the speculative path's partial
     first take is per-byte).
+
+    `log_anchors=True` additionally emits per step an int32 *anchor*
+    — at a block end, the decoder state that a resumed decode would need
+    to be bit-identical from there on: `(bitpos_after_block << 2) | bim`
+    (DPCM state excluded by construction: DC is emitted as differences),
+    plus the running block count at that boundary.  The single-pass
+    speculative path matches lane i's true entry state against lane
+    i-1's cold end (see decode_speculative_sync) in these logs to adopt
+    cold-decoded events without any re-decode.  ys becomes
+    (events, anchors, anchor_blks).
+
+    log_anchors also switches errors from LATCH to RECOVER: a cold
+    (misaligned) decode routinely walks into garbage that is denser than
+    the step budget or hits the invalid code gap — a latched lane would
+    halt before ever self-synchronizing.  Instead the lane drops its
+    buffered bits, realigns to the refill frontier (always byte-aligned
+    in cold mode), resets the in-block position, and keeps decoding; the
+    final carry records the LAST recovery bit position (init -1), and
+    the resolve step rejects adoption for any lane that recovered past
+    its true entry point (exact-state matching makes earlier recoveries
+    irrelevant: the decode is a deterministic function of
+    (bitpos, phase)).  err masks return all-False in this mode.
 
     `pad_info` (optional, int32 [L] pair `(wrap_at, skip)`): bucket-raster
     emission for size-class bucketed decode.  The event's block index
@@ -761,7 +784,9 @@ def _fsm_scan(
 
     def symbol_step(st):
         (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
-         end_bits, end_bim, *padst) = st
+         end_bits, end_bim, *extra) = st
+        padst = tuple(extra[:2]) if pad_info is not None else ()
+        rec = extra[-1] if log_anchors else None
         active = ~done & ~err_mal & ~err_env
 
         # ---- peek the next 16 bits, padding past end-of-buffer with 1s.
@@ -814,7 +839,9 @@ def _fsm_scan(
 
         need = length + size
         complete = active & (length <= 16) & (navail >= need)
-        err_mal = err_mal | (active & (length > 16) & (navail >= 16))
+        bad_code = active & (length > 16) & (navail >= 16)
+        if not log_anchors:
+            err_mal = err_mal | bad_code
 
         # ---- magnitude bits + EXTEND (reference utils.cu:34-41)
         mag = (buf >> jnp.clip(navail - need, 0, 31)) & ((1 << size) - 1)
@@ -825,8 +852,10 @@ def _fsm_scan(
         # size 0 emits nothing at all — the cumsum supplies the predictor)
         eob = complete & ~is_dc & (sym == 0)
         z = jnp.where(is_dc, zero, k + run)
-        emit = complete & (size > 0)
-        err_mal = err_mal | (emit & ~is_dc & (z > 63))
+        bad_z = complete & ~is_dc & (z > 63)
+        emit = complete & (size > 0) & ~bad_z
+        if not log_anchors:
+            err_mal = err_mal | (complete & (size > 0) & bad_z)
         # pad mode: the event's block field is the bucket-raster OUTPUT
         # position (oblk), not the real block count
         eblk = padst[1] if padst else blk
@@ -871,6 +900,15 @@ def _fsm_scan(
             )
         bim2 = jnp.where(block_end,
                          jnp.where(bim + 1 == bpm, 0, bim + 1), bim)
+        if log_anchors:
+            # the resumable state at this block boundary: bit position
+            # (post code+EOB, pre any compound DC0 of the NEXT block) and
+            # MCU phase; k is 0 at boundaries by construction and DC
+            # carries no state (diff emission).  blk2 = cold block count.
+            anchor = jnp.where(
+                block_end, (bitpos << 2) | bim2, jnp.int32(-1)
+            )
+            anchor_blk = jnp.where(block_end, blk2, 0)
         k3 = jnp.where(block_end, 0, k2)
         done_now = block_end & (blk2 >= seg_n_blocks)
         if chunk_bits is not None:
@@ -894,8 +932,21 @@ def _fsm_scan(
         bitpos = bitpos + jnp.where(dc0_fire, dl, 0)
         k4 = jnp.where(dc0_fire, 1, k3)
 
-        return (buf, navail, bitpos, k4, blk2, bim2, done2, err_mal, err_env,
-                end_bits, end_bim, *padst), event
+        if log_anchors:
+            # RECOVER, don't latch: drop the backlog, realign to the
+            # refill frontier (bitpos + navail), reset the in-block
+            # position, record the recovery site (docstring)
+            rec_now = bad_code | bad_z
+            bitpos = bitpos + jnp.where(rec_now, navail, 0)
+            navail = jnp.where(rec_now, 0, navail)
+            k4 = jnp.where(rec_now, 0, k4)
+            rec = jnp.maximum(rec, jnp.where(rec_now, bitpos, -1))
+            st2 = (buf, navail, bitpos, k4, blk2, bim2, done2, err_mal,
+                   err_env, end_bits, end_bim, rec)
+            return st2, (event, anchor, anchor_blk)
+        st2 = (buf, navail, bitpos, k4, blk2, bim2, done2, err_mal, err_env,
+               end_bits, end_bim, *padst)
+        return st2, event
 
     # Per-column schedule: one 8-bit refill before each step sub-batch.
     # bpc>1 interleaves refill(byte b), k_b steps per byte — the per-byte
@@ -915,7 +966,7 @@ def _fsm_scan(
         for b, kb in enumerate(ks):
             byte = (colv >> (8 * (bpc - 1 - b))) & 0xFF
             (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
-             end_bits, end_bim, *padst) = st
+             end_bits, end_bim, *extra) = st
             active = ~done & ~err_mal & ~err_env
             refill = active & (col < n_data_cols)
             if start_bits is None:
@@ -925,15 +976,34 @@ def _fsm_scan(
                     refill, 8 - jnp.clip(start_bits - col * 8, 0, 8), 0
                 )
             overflow = navail + take > 32
-            err_env = err_env | (active & overflow & (take > 0))
+            if log_anchors:
+                # recover (see docstring): the backlog a cold garbage
+                # interpretation piled up is dropped and the lane resumes
+                # at the byte-aligned refill frontier
+                rec_v = extra[-1]
+                spill = active & overflow & (take > 0)
+                bitpos = bitpos + jnp.where(spill, navail, 0)
+                navail = jnp.where(spill, 0, navail)
+                k = jnp.where(spill, 0, k)
+                rec_v = jnp.maximum(rec_v, jnp.where(spill, bitpos, -1))
+                extra = list(extra)
+                extra[-1] = rec_v
+                extra = tuple(extra)
+                overflow = jnp.zeros_like(overflow)
+            else:
+                err_env = err_env | (active & overflow & (take > 0))
             take = jnp.where(overflow, 0, take)
             buf = (buf << take) | (byte & ((1 << take) - 1))
             navail = navail + take
             st = (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
-                  end_bits, end_bim, *padst)
+                  end_bits, end_bim, *extra)
             for _ in range(kb):
                 st, ev = symbol_step(st)
                 events.append(ev)
+        if log_anchors:
+            return st, tuple(
+                jnp.stack([e[i] for e in events]) for i in range(3)
+            )
         return st, jnp.stack(events)
 
     init = (
@@ -951,6 +1021,8 @@ def _fsm_scan(
     )
     if pad_info is not None:
         init = init + (zero, zero)               # ocol, oblk
+    if log_anchors:
+        init = init + (jnp.full(L, -1, jnp.int32),)  # last recovery bitpos
     cols = jnp.arange(xs.shape[0], dtype=jnp.int32)
     st, events = jax.lax.scan(body, init, (cols, xs))
     # A lane undone at end of data is either truncated (it consumed its
@@ -959,8 +1031,14 @@ def _fsm_scan(
     # is an envelope condition: callers retry at STEPS_SAFE.
     undone = ~st[6]
     starved = undone & (st[1] >= 8)
-    err_mal = st[7] | (undone & ~starved)
-    err_env = st[8] | starved
+    if log_anchors:
+        # recover mode: nothing latches; an undone/garbage lane surfaces
+        # as a resolve miss (end state never matches downstream)
+        err_mal = st[7]
+        err_env = st[8]
+    else:
+        err_mal = st[7] | (undone & ~starved)
+        err_env = st[8] | starved
     # NB: the full carry is returned (and surfaced through the jit below)
     # on purpose: XLA:CPU (observed on jax 0.9.0) miscompiles scans whose
     # carry outputs are dead — execution spins forever.  Keeping every
@@ -1759,6 +1837,252 @@ def decode_speculative_batch(
             coeffs[m, 0] = np.cumsum(coeffs[m, 0])
         out.append(coeffs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Single-pass speculative decode via self-synchronization logs (round 4)
+# ---------------------------------------------------------------------------
+#
+# The Jacobi fixed point costs 5-6 count scans + 1 write scan per chunk
+# (measured, benchmark_results/spec_profile_r4.jsonl).  This path does the
+# whole thing in ONE scan, exploiting the same self-synchronization the
+# host runtime uses (entropy.cpp decode_noseg_spec) — on device:
+#
+#   * every lane COLD-decodes its chunk from bit 0, emitting events AND a
+#     log of block-boundary anchors (bitpos, MCU phase) with the running
+#     block count (log_anchors in _fsm_scan);
+#   * lane i's true entry state is lane i-1's cold END state (rebased) —
+#     if that (bitpos, phase) appears in lane i's anchor log, lane i's
+#     cold trajectory from that block onward IS the true decode, so its
+#     already-emitted events are adopted directly: trimmed to blocks
+#     >= the matched count and re-based (a pure elementwise pass);
+#   * correctness is inductive per image: lane 0 is exact; if every
+#     lane's entry hits its log, every adopted suffix is exact.  DC is
+#     emitted as stream DIFFS, so no decoder state crosses the boundary;
+#   * any miss / cold error / quota inconsistency falls back to the
+#     Jacobi path (decode_speculative_batch), which keeps its own
+#     STEPS_SAFE retry ladder.  Misses require content whose cold decode
+#     fails to self-synchronize within one chunk — rare on real streams
+#     (the host runtime measured 47k adopted vs 19 re-decoded blocks).
+#
+# The anchors only need matching near the chunk head: the true entry is
+# at most SPEC_OVERLAP bytes past the boundary, so the match scans the
+# first _ANCHOR_ROWS event rows instead of the full matrix.
+
+_ANCHOR_ROWS = (SPEC_OVERLAP + 64) * 2  # bits/8 * steps: generous cover
+
+
+@dataclass
+class SpecSyncPending:
+    """In-flight sync-spec chunk: cold scan dispatched, fetch pending."""
+
+    plan: SpecBatchPlan
+    ev: object        # device [N, L] cold events
+    b_star: object    # device [L] matched cold block count at entry
+    packed: object    # device [2L + 2]: quotas, hits, (any_mal, any_env)
+    steps: object
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tables", "blk_cap", "steps", "anchor_rows")
+)
+def _spec_sync_scan_jit(
+    xs, chunk_bits, inherit, real, *, tables, blk_cap, steps, anchor_rows
+):
+    """Cold scan + anchor resolve, one dispatch.
+
+    Returns (ev [N, L], b_star [L], packed [2L+3]) — packed is the one
+    host fetch: per-lane adopted quotas, per-lane hit bits, the cold
+    error summary over REAL lanes (padding lanes cold-decode zero bytes
+    and latch garbage flags), and a carry-liveness probe (the XLA dead-
+    carry miscompile note in _fsm_scan).
+    """
+    L = chunk_bits.shape[0]
+    chunk_bytes = xs.shape[1] - SPEC_OVERLAP
+    caps = jnp.full((L,), blk_cap, jnp.int32)
+    (ev3, anc3, abk3), (err_mal, err_env), st = _fsm_scan(
+        xs.T, caps, tables, chunk_bits=chunk_bits, steps=steps,
+        log_anchors=True,
+    )
+    stride, S, _ = ev3.shape
+    ev = ev3.reshape(stride * S, L)
+    anchors = anc3.reshape(stride * S, L)
+    ablk = abk3.reshape(stride * S, L)
+    end_bits, end_bim, end_blk = st[9], st[10], st[4]
+    rec = st[11]   # last recovery bitpos per lane (-1 = never recovered)
+
+    P = jnp.roll(end_bits, 1) - chunk_bytes * 8
+    bim_t = jnp.roll(end_bim, 1)
+    P = jnp.where(inherit, P, 0)
+    bim_t = jnp.where(inherit, bim_t, 0)
+    target = (P << 2) | bim_t
+    rows = min(anchor_rows, anchors.shape[0])
+    a = jax.lax.slice_in_dim(anchors, 0, rows, axis=0)
+    ab = jax.lax.slice_in_dim(ablk, 0, rows, axis=0)
+    match = a == target[None, :]
+    entry0 = (P == 0) & (bim_t == 0)   # chunk-aligned entry: cold start
+    # adoption requires (a) an exact state match at the entry and (b) no
+    # recovery PAST the entry (the adopted span must be recovery-free;
+    # earlier recoveries are irrelevant — the decode is a deterministic
+    # function of (bitpos, phase))
+    deep_rec = rec > P
+    hit = (jnp.any(match, axis=0) | entry0) & ~deep_rec
+    # anchors are strictly increasing per lane, so at most one match
+    b_star = jnp.max(jnp.where(match, ab, 0), axis=0)
+    b_star = jnp.where(entry0, 0, b_star)
+    quota = jnp.maximum(end_blk - b_star, 0)
+    probe = jnp.sum(
+        st[0] + st[1] + st[2] + st[3] + st[5] + st[6].astype(jnp.int32),
+        dtype=jnp.int32,
+    )
+    # a recovery inside a lane's TRUE span usually means the stream is
+    # denser than the step budget there -> classify as envelope pressure
+    # so the caller ladders to STEPS_SAFE before the Jacobi fallback
+    packed = jnp.concatenate(
+        [
+            quota,
+            hit.astype(jnp.int32),
+            jnp.stack(
+                [jnp.zeros((), jnp.int32),
+                 jnp.any(deep_rec & real).astype(jnp.int32),
+                 probe]
+            ),
+        ]
+    )
+    return ev, b_star, packed
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tables", "pad_to", "nb", "n_imgs", "cap_w")
+)
+def _spec_sync_assemble_jit(
+    ev, b_star, quotas, *, tables, pad_to, nb, n_imgs, cap_w
+):
+    """Adopt cold events: trim to blocks >= b_star, re-base, materialize,
+    ragged-gather into the dense per-image tensor, resolve DC."""
+    L = ev.shape[1]
+    valid = ev >= 0
+    blk = (ev >> 18) & 0x1FFF
+    # the upper bound zeroes padding lanes (quota 0) and any cold tail a
+    # halted lane left behind; real lanes' cold decode stops exactly at
+    # b_star + quota so the bound is a no-op for them
+    keep = (
+        valid
+        & (blk >= b_star[None, :])
+        & (blk < (b_star + quotas)[None, :])
+    )
+    ev2 = jnp.where(keep, ev - (b_star[None, :] << 18), jnp.int32(-1))
+    err = jnp.zeros(L, bool)
+    coeffs_t, err = materialize_checked(ev2, cap_w * 64, err)
+    per_lane = coeffs_t.T.reshape(L, cap_w, 64).astype(jnp.int32)
+    coeffs = _spec_gather_jit(
+        per_lane, quotas, tables=tables, pad_to=pad_to, nb=nb, n_imgs=n_imgs
+    )
+    return coeffs, err
+
+
+class SpecSyncMiss(JpegError):
+    """The single-pass sync resolve could not adopt every lane (cold
+    decode failed to self-synchronize, or block counts were inconsistent)
+    — callers fall back to the Jacobi converge path."""
+
+
+def spec_sync_start(
+    imgs: list[JpegImage],
+    chunk_bytes: int = 1024,
+    plan: SpecBatchPlan | None = None,
+    xs_dev=None,
+    steps=STEPS_PRODUCTION,
+) -> SpecSyncPending:
+    """Dispatch a chunk's single cold scan + resolve (non-blocking)."""
+    if plan is None:
+        plan = build_spec_plan_batch(imgs, chunk_bytes)
+    L = plan.chunk_bits.shape[0]
+    xs = xs_dev if xs_dev is not None else jnp.asarray(plan.xs)
+    inherit = np.ones(L, bool)
+    inherit[plan.img_first] = False
+    inherit[plan.n_lanes:] = False
+    real = np.zeros(L, bool)
+    real[: plan.n_lanes] = True
+    bpc, spc = _steps_spec(steps)
+    ev, b_star, packed = _spec_sync_scan_jit(
+        xs, jnp.asarray(plan.chunk_bits), jnp.asarray(inherit),
+        jnp.asarray(real),
+        tables=plan.tables, blk_cap=plan.blk_cap, steps=steps,
+        anchor_rows=_ANCHOR_ROWS * spc // (bpc * 2),
+    )
+    return SpecSyncPending(plan, ev, b_star, packed, steps)
+
+
+def decode_speculative_sync(
+    imgs: list[JpegImage],
+    chunk_bytes: int = 1024,
+    device_out: bool = True,
+    pad_to: int | None = None,
+    plan: SpecBatchPlan | None = None,
+    xs_dev=None,
+    steps=STEPS_PRODUCTION,
+    pending: SpecSyncPending | None = None,
+):
+    """Single-pass speculative batch decode (see module note above).
+
+    Returns (coeffs device [pad_to, nb, 64], err_mask [L]) like
+    decode_speculative_batch(device_out=True).  Raises SpecSyncMiss when
+    any lane failed to resolve (callers fall back to the Jacobi path) and
+    SpecEnvelopeError when the cold pass classified envelope pressure.
+    """
+    if pending is None:
+        pending = spec_sync_start(imgs, chunk_bytes, plan, xs_dev, steps)
+    plan = pending.plan
+    if device_out and len(set(int(nb) for nb in plan.img_blocks)) != 1:
+        raise JpegError("device_out requires a uniform-geometry batch")
+    T = plan.n_lanes
+    L = plan.chunk_bits.shape[0]
+    fetched = np.asarray(jax.device_get(pending.packed))
+    quotas = fetched[:L].astype(np.int32)
+    hits = fetched[L : 2 * L].astype(bool)
+    any_mal, any_env = (int(v) for v in fetched[2 * L : 2 * L + 2])
+    quotas[T:] = 0
+    hits[T:] = True
+
+    ok = bool(hits[:T].all())
+    if ok:
+        for first, S, nb in zip(
+            plan.img_first, plan.img_lanes, plan.img_blocks
+        ):
+            span = quotas[first : first + S]
+            if int(span.sum()) != int(nb) or int(span.max(initial=0)) > plan.blk_cap:
+                ok = False
+                break
+    if not ok:
+        if any_env:
+            # density pressure: let the caller retry the LADDER at
+            # STEPS_SAFE (the provable envelope) before the Jacobi path
+            raise SpecEnvelopeError(
+                "spec-sync cold pass latched envelope lanes"
+            )
+        raise SpecSyncMiss(
+            "spec-sync: cold decode failed to resolve every lane"
+        )
+
+    cap_w = 16
+    while cap_w < int(quotas.max(initial=1)):
+        cap_w *= 2
+    cap_w = min(cap_w, plan.blk_cap)
+    coeffs, err = _spec_sync_assemble_jit(
+        pending.ev, pending.b_star, jnp.asarray(quotas),
+        tables=plan.tables, pad_to=pad_to or len(imgs),
+        nb=int(plan.img_blocks[0]), n_imgs=len(imgs), cap_w=cap_w,
+    )
+    if not device_out:
+        got = np.asarray(jax.device_get(coeffs))
+        if bool(np.asarray(jax.device_get(err)).any()):
+            raise SpecSyncMiss("spec-sync: materialization checksum failed")
+        return [
+            got[i, : int(nb)] for i, nb in enumerate(plan.img_blocks)
+        ]
+    # the err mask rides the caller's fence like the Jacobi write pass's
+    return coeffs, (err, jnp.zeros_like(err))
 
 
 def decode_speculative(

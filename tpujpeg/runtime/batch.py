@@ -59,6 +59,11 @@ _LINK_MBPS_FSM_THRESHOLD = 200.0
 _PREP_AHEAD = 3
 _link_mbps_cache: float | None = None
 
+# Single-pass sync-log speculative path (fsm.decode_speculative_sync)
+# as the primary no-restart decoder; 0 reverts to the Jacobi fixed
+# point everywhere (A/B and emergency escape hatch).
+_SPEC_SYNC = os.environ.get("TPUJPEG_SPEC_SYNC", "1") == "1"
+
 
 def measured_link_mbps() -> float:
     """One-shot host->device->host bandwidth probe (MB/s), cached.
@@ -116,6 +121,7 @@ class BatchStats:
     fsm_envelope_fallbacks: int = 0   # chunks redone on host: outside envelope
     fsm_k_retries: int = 0            # chunks re-decoded at STEPS_SAFE
     fsm_malformed_fallbacks: int = 0  # chunks redone on host: bad stream
+    spec_sync_misses: int = 0         # spec chunks that fell back to Jacobi
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -158,6 +164,7 @@ class _Chunk:
     plan_future: object = None         # async build_plan+upload (pipelining)
     steps = 0                          # FSM steps spec used (fsm._steps_spec)
     spec_k_retries: int = 0            # inline STEPS_SAFE retries (spec path)
+    spec_sync_misses: int = 0          # sync-log resolve misses -> Jacobi
     err_mal: object = None             # device malformed mask (fsm backend)
     err_env: object = None             # device envelope mask (fsm backend)
     out: object = None                 # device (rgb, risk, metrics)
@@ -467,15 +474,17 @@ class BatchDecoder:
         )
 
     def _process_chunk_spec(self, chunk: _Chunk, steps=None) -> bool:
-        """Speculative-split device decode for streams without restart
-        markers (the reference's centerpiece, parser.cu:50-208): entropy
-        runs on device via the Jacobi equal-split FSM, the dense tensor
-        stays on device, and the pixel program runs as usual.  Returns
-        False when any image is outside the speculative envelope.
-        Streams denser than the production step budget (the count pass
-        latches envelope lanes -> SpecEnvelopeError) retry ON DEVICE at
-        STEPS_SAFE before any host fallback, mirroring the restart path's
-        K retry."""
+        """Speculative device decode for streams without restart markers
+        (the reference's centerpiece, parser.cu:50-208).
+
+        Primary: the single-pass sync-log path (fsm.decode_speculative_sync
+        — ONE cold scan whose events are adopted via anchor matching;
+        backend 'fsm-spec-sync').  On a resolve miss it falls back to the
+        Jacobi fixed point (backend 'fsm-spec', stats.spec_sync_misses).
+        Streams denser than the production step budget retry ON DEVICE
+        at STEPS_SAFE before any host fallback, mirroring the restart
+        path's K retry.  Returns False when the chunk is outside every
+        speculative envelope."""
         from ..ops import fsm
 
         geom = chunk.geom
@@ -488,15 +497,38 @@ class BatchDecoder:
             pending = chunk.spec_pending
         chunk.spec_pending = None
         try:
-            # one Jacobi fixed point for the WHOLE chunk (a single device
-            # dispatch + ONE quota/flag fetch), then the dense tensor
-            # stays on device: lane rows are trimmed to their quotas by
-            # one row gather (index built on device) and DC resolves with
-            # the per-image cumsum
-            coeffs_dev, (err_mal, err_env) = fsm.decode_speculative_batch(
-                chunk.imgs, device_out=True, pad_to=B, steps=chunk.steps,
-                pending=pending,
-            )
+            if _SPEC_SYNC:
+                try:
+                    sync_pending = (
+                        pending
+                        if isinstance(pending, fsm.SpecSyncPending)
+                        else None
+                    )
+                    coeffs_dev, (err_mal, err_env) = (
+                        fsm.decode_speculative_sync(
+                            chunk.imgs, device_out=True, pad_to=B,
+                            steps=chunk.steps, pending=sync_pending,
+                        )
+                    )
+                    chunk.backend = "fsm-spec-sync"
+                except fsm.SpecSyncMiss:
+                    chunk.spec_sync_misses += 1
+                    coeffs_dev, (err_mal, err_env) = (
+                        fsm.decode_speculative_batch(
+                            chunk.imgs, device_out=True, pad_to=B,
+                            steps=chunk.steps,
+                        )
+                    )
+                    chunk.backend = "fsm-spec"
+            else:
+                coeffs_dev, (err_mal, err_env) = fsm.decode_speculative_batch(
+                    chunk.imgs, device_out=True, pad_to=B, steps=chunk.steps,
+                    pending=(
+                        pending if isinstance(pending, fsm.SpecPending)
+                        else None
+                    ),
+                )
+                chunk.backend = "fsm-spec"
         except fsm.SpecEnvelopeError:
             if not fsm.steps_below_safe(chunk.steps):
                 return False
@@ -509,10 +541,9 @@ class BatchDecoder:
         chunk.coeffs_dev = coeffs_dev
         chunk.err_mal = err_mal
         chunk.err_env = err_env
-        # write-pass errors ride the fence (one combined round-trip); a
-        # latched lane falls back to the host decoder in _finish
+        # write-pass / adopt-checksum errors ride the fence (one combined
+        # round-trip); a latched lane falls back to the host in _finish
         chunk.fence = _pack_fence(chunk.out[0], err_mal, err_env)
-        chunk.backend = "fsm-spec"
         return True
 
     def _prefers_fsm(self) -> bool:
@@ -558,8 +589,9 @@ class BatchDecoder:
             # speculative path — dispatch its Jacobi converge NOW so the
             # quota fetch overlaps other chunks' device work
             try:
-                pend = fsm.spec_start(chunk.imgs)
-                return ("spec", pend)
+                if _SPEC_SYNC:
+                    return ("spec", fsm.spec_sync_start(chunk.imgs))
+                return ("spec", fsm.spec_start(chunk.imgs))
             except JpegError as e2:
                 return e2
         return plan, fsm.upload_plan(plan)
@@ -870,6 +902,7 @@ class BatchDecoder:
                 _force_done(chunk.out)
         t_dev = time.perf_counter() - t0
         n_k += sum(c.spec_k_retries for c in chunks)
+        n_sync_miss = sum(c.spec_sync_misses for c in chunks)
 
         self.stats = BatchStats(
             n_images=n_images,
@@ -885,6 +918,7 @@ class BatchDecoder:
             fsm_envelope_fallbacks=n_env,
             fsm_malformed_fallbacks=n_mal,
             fsm_k_retries=n_k,
+            spec_sync_misses=n_sync_miss,
         )
         for chunk in chunks:
             if chunk.failed:
