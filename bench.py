@@ -259,7 +259,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
                 coeffs, (err_mal, err_env) = fsm.decode_speculative_sync(
                     part, device_out=True, pad_to=chunk, pending=pendings[i],
                 )
-            except fsm.SpecSyncMiss:
+            except (fsm.SpecSyncMiss, fsm.SpecEnvelopeError):
                 coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
                     part, device_out=True, pad_to=chunk,
                     plan=plan, xs_dev=uploaded[0],

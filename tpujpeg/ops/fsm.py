@@ -786,7 +786,7 @@ def _fsm_scan(
         (buf, navail, bitpos, k, blk, bim, done, err_mal, err_env,
          end_bits, end_bim, *extra) = st
         padst = tuple(extra[:2]) if pad_info is not None else ()
-        rec = extra[-1] if log_anchors else None
+        rec, rec_pend = (extra[-2], extra[-1]) if log_anchors else (None, None)
         active = ~done & ~err_mal & ~err_env
 
         # ---- peek the next 16 bits, padding past end-of-buffer with 1s.
@@ -941,9 +941,17 @@ def _fsm_scan(
             navail = jnp.where(rec_now, 0, navail)
             k4 = jnp.where(rec_now, 0, k4)
             rec = jnp.maximum(rec, jnp.where(rec_now, bitpos, -1))
+            # ys marker: one recovery site per slot.  A step recovery
+            # takes this slot; an unsent refill marker re-queues for the
+            # next slot so BOTH surface (the span check is an ANY over
+            # rows, order-free).
+            rec_mark = jnp.where(rec_now, bitpos, rec_pend)
+            rec_pend2 = jnp.where(
+                rec_now, rec_pend, jnp.full_like(rec_pend, -1)
+            )
             st2 = (buf, navail, bitpos, k4, blk2, bim2, done2, err_mal,
-                   err_env, end_bits, end_bim, rec)
-            return st2, (event, anchor, anchor_blk)
+                   err_env, end_bits, end_bim, rec, rec_pend2)
+            return st2, (event, anchor, anchor_blk, rec_mark)
         st2 = (buf, navail, bitpos, k4, blk2, bim2, done2, err_mal, err_env,
                end_bits, end_bim, *padst)
         return st2, event
@@ -980,14 +988,17 @@ def _fsm_scan(
                 # recover (see docstring): the backlog a cold garbage
                 # interpretation piled up is dropped and the lane resumes
                 # at the byte-aligned refill frontier
-                rec_v = extra[-1]
                 spill = active & overflow & (take > 0)
                 bitpos = bitpos + jnp.where(spill, navail, 0)
                 navail = jnp.where(spill, 0, navail)
                 k = jnp.where(spill, 0, k)
-                rec_v = jnp.maximum(rec_v, jnp.where(spill, bitpos, -1))
                 extra = list(extra)
-                extra[-1] = rec_v
+                extra[-2] = jnp.maximum(
+                    extra[-2], jnp.where(spill, bitpos, -1)
+                )
+                extra[-1] = jnp.maximum(
+                    extra[-1], jnp.where(spill, bitpos, -1)
+                )
                 extra = tuple(extra)
                 overflow = jnp.zeros_like(overflow)
             else:
@@ -1002,7 +1013,7 @@ def _fsm_scan(
                 events.append(ev)
         if log_anchors:
             return st, tuple(
-                jnp.stack([e[i] for e in events]) for i in range(3)
+                jnp.stack([e[i] for e in events]) for i in range(4)
             )
         return st, jnp.stack(events)
 
@@ -1022,7 +1033,11 @@ def _fsm_scan(
     if pad_info is not None:
         init = init + (zero, zero)               # ocol, oblk
     if log_anchors:
-        init = init + (jnp.full(L, -1, jnp.int32),)  # last recovery bitpos
+        # last recovery bitpos + a pending refill-recovery marker for the
+        # next step's ys slot (the rec ys plane is per step; the refill
+        # recovery happens between steps)
+        init = init + (jnp.full(L, -1, jnp.int32),
+                       jnp.full(L, -1, jnp.int32))
     cols = jnp.arange(xs.shape[0], dtype=jnp.int32)
     st, events = jax.lax.scan(body, init, (cols, xs))
     # A lane undone at end of data is either truncated (it consumed its
@@ -1874,106 +1889,188 @@ _ANCHOR_ROWS = (SPEC_OVERLAP + 64) * 2  # bits/8 * steps: generous cover
 
 @dataclass
 class SpecSyncPending:
-    """In-flight sync-spec chunk: cold scan dispatched, fetch pending."""
+    """In-flight sync-spec chunk: cold+stitch scans dispatched, fetch
+    pending."""
 
     plan: SpecBatchPlan
-    ev: object        # device [N, L] cold events
-    b_star: object    # device [L] matched cold block count at entry
-    packed: object    # device [2L + 2]: quotas, hits, (any_mal, any_env)
+    ev1: object       # device [N1, L] cold events (pass 1)
+    anchors: object   # device [N1, L] pass-1 block-boundary anchors
+    ablk: object      # device [N1, L] pass-1 cold block count per anchor
+    recm: object      # device [N1, L] pass-1 recovery markers (-1 = none)
+    ev2: object       # device [N2, L] stitch events (pass 2)
+    end2: object      # device [L] stitch-point bit position
+    b1: object        # device [L] pass-1 block count at the stitch point
+    blk2: object      # device [L] pass-2 decoded block count
+    packed: object    # device [2L + 3]: quotas, hits, flags
     steps: object
+
+
+# Stitch window: pass 2 re-decodes each lane from its true entry for up
+# to this many bytes — enough for Huffman self-synchronization (the host
+# runtime measures sync within ~100 bytes) plus the entry offset
+# (<= SPEC_OVERLAP).  The pass-2 slice adds SPEC_OVERLAP so the stop
+# boundary's straddle always fits.
+SPEC_STITCH_BYTES = 256
 
 
 @functools.partial(
     jax.jit, static_argnames=("tables", "blk_cap", "steps", "anchor_rows")
 )
 def _spec_sync_scan_jit(
-    xs, chunk_bits, inherit, real, *, tables, blk_cap, steps, anchor_rows
+    xs, chunk_bits, inherit, body, *, tables, blk_cap, steps, anchor_rows
 ):
-    """Cold scan + anchor resolve, one dispatch.
+    """The two speculative passes + resolve, ONE dispatch.
 
-    Returns (ev [N, L], b_star [L], packed [2L+3]) — packed is the one
-    host fetch: per-lane adopted quotas, per-lane hit bits, the cold
-    error summary over REAL lanes (padding lanes cold-decode zero bytes
-    and latch garbage flags), and a carry-liveness probe (the XLA dead-
-    carry miscompile note in _fsm_scan).
+    Pass 1 (cold): every lane decodes its whole chunk from bit 0 with
+    recovery-not-latch semantics, logging events and block-boundary
+    anchors (bitpos, phase, running count).
+
+    Pass 2 (stitch): every lane re-decodes from its TRUE entry state —
+    the predecessor's cold end, available on device via a roll — for up
+    to SPEC_STITCH_BYTES, in ordinary latch mode (the true stream errs
+    only when genuinely malformed or denser than the step budget).
+
+    Resolve: the stitch pass's end state (a block boundary) is matched
+    against the cold pass's anchor log: self-synchronization means the
+    two trajectories have merged by then, so the cold EVENTS from that
+    anchor onward are the true decode and the lane's full event stream
+    is stitch events + re-based cold events — no full-length re-decode
+    ever happens.  Correctness is inductive per image (lane 0's entry is
+    exact; a hit certifies the lane's end, which is the next lane's
+    entry), and the caller requires every lane to hit.
+
+    Returns (ev1, anchors, ablk, recm [N1, L], ev2 [N2, L],
+    end2, b1, blk2 [L], packed [2L+3]).
     """
     L = chunk_bits.shape[0]
     chunk_bytes = xs.shape[1] - SPEC_OVERLAP
     caps = jnp.full((L,), blk_cap, jnp.int32)
-    (ev3, anc3, abk3), (err_mal, err_env), st = _fsm_scan(
+    (ev3, anc3, abk3, rec3), _, st1 = _fsm_scan(
         xs.T, caps, tables, chunk_bits=chunk_bits, steps=steps,
         log_anchors=True,
     )
-    stride, S, _ = ev3.shape
-    ev = ev3.reshape(stride * S, L)
-    anchors = anc3.reshape(stride * S, L)
-    ablk = abk3.reshape(stride * S, L)
-    end_bits, end_bim, end_blk = st[9], st[10], st[4]
-    rec = st[11]   # last recovery bitpos per lane (-1 = never recovered)
+    s0, s1, _ = ev3.shape
+    ev1 = ev3.reshape(s0 * s1, L)
+    anchors = anc3.reshape(s0 * s1, L)
+    ablk = abk3.reshape(s0 * s1, L)
+    recm = rec3.reshape(s0 * s1, L)
+    end1, bim1, cold_blk = st1[9], st1[10], st1[4]
+    rec_last = st1[11]
 
-    P = jnp.roll(end_bits, 1) - chunk_bytes * 8
-    bim_t = jnp.roll(end_bim, 1)
-    P = jnp.where(inherit, P, 0)
+    # true entry per lane = predecessor's cold end (exact iff the
+    # predecessor hits — certified chunk-wide by the caller)
+    P = jnp.roll(end1, 1) - chunk_bytes * 8
+    bim_t = jnp.roll(bim1, 1)
+    P = jnp.where(inherit, jnp.maximum(P, 0), 0)
     bim_t = jnp.where(inherit, bim_t, 0)
-    target = (P << 2) | bim_t
+
+    w2 = min(SPEC_STITCH_BYTES, chunk_bytes)
+    wslice = min(w2 + SPEC_OVERLAP, xs.shape[1])
+    xs2 = jax.lax.slice_in_dim(xs, 0, wslice, axis=1)
+    cb2 = jnp.minimum(chunk_bits, w2 * 8)
+    ev2_3, (em2, ee2), st2 = _fsm_scan(
+        xs2.T, caps, tables, start_bits=P, start_bim=bim_t,
+        chunk_bits=cb2, steps=steps,
+    )
+    t0, t1, _ = ev2_3.shape
+    ev2 = ev2_3.reshape(t0 * t1, L)
+    end2, bim2e, blk2 = st2[9], st2[10], st2[4]
+
+    # membership: has the cold trajectory visited the stitch state?
+    target = (end2 << 2) | bim2e
     rows = min(anchor_rows, anchors.shape[0])
     a = jax.lax.slice_in_dim(anchors, 0, rows, axis=0)
     ab = jax.lax.slice_in_dim(ablk, 0, rows, axis=0)
     match = a == target[None, :]
-    entry0 = (P == 0) & (bim_t == 0)   # chunk-aligned entry: cold start
-    # adoption requires (a) an exact state match at the entry and (b) no
-    # recovery PAST the entry (the adopted span must be recovery-free;
-    # earlier recoveries are irrelevant — the decode is a deterministic
-    # function of (bitpos, phase))
-    deep_rec = rec > P
-    hit = (jnp.any(match, axis=0) | entry0) & ~deep_rec
-    # anchors are strictly increasing per lane, so at most one match
-    b_star = jnp.max(jnp.where(match, ab, 0), axis=0)
-    b_star = jnp.where(entry0, 0, b_star)
-    quota = jnp.maximum(end_blk - b_star, 0)
+    synced = jnp.any(match, axis=0)
+    b1 = jnp.max(jnp.where(match, ab, 0), axis=0)
+    quota = blk2 + jnp.maximum(cold_blk - b1, 0)
+
+    # quick classifications for the retry ladder.  Envelope pressure =
+    # the TRUE stream runs denser than the step budget: a pass-2 latch
+    # on a body lane (pass 2 decodes the true stream), or a pass-1
+    # recovery past the stitch point on a lane that SYNCED (its cold
+    # trajectory from there IS the true stream).  A late recovery on an
+    # UNSYNCED lane is just cold garbage -> plain miss.
+    deep = synced & (rec_last > end2) & body
+    env = jnp.any((ee2 & body & ~em2) | deep)
+    mal = jnp.any(em2 & body)
+    # NB: a lane whose whole span fits the stitch window still needs
+    # membership when it has a SUCCESSOR — the successor's entry is this
+    # lane's COLD end, which only the anchor match certifies (a pass-2-
+    # only certificate says nothing about the cold trajectory).  Lanes
+    # with no successor (each image's LAST lane) are exempted HOST-side:
+    # their pass 2 prefix is adopted against the image-remainder quota.
+    hit = synced & ~(em2 | ee2) & ~deep
     probe = jnp.sum(
-        st[0] + st[1] + st[2] + st[3] + st[5] + st[6].astype(jnp.int32),
+        st1[0] + st1[3] + st1[5] + st2[0] + st2[3] + st2[5],
         dtype=jnp.int32,
     )
-    # a recovery inside a lane's TRUE span usually means the stream is
-    # denser than the step budget there -> classify as envelope pressure
-    # so the caller ladders to STEPS_SAFE before the Jacobi fallback
+    # blk2 rides the fetch: SHORT last lanes (whole remainder inside the
+    # stitch window) validate host-side as blk2 >= image remainder —
+    # their pass 2 legitimately runs past the stream end into padding,
+    # where latches/garbage say nothing about the true prefix
     packed = jnp.concatenate(
         [
             quota,
             hit.astype(jnp.int32),
+            blk2,
             jnp.stack(
-                [jnp.zeros((), jnp.int32),
-                 jnp.any(deep_rec & real).astype(jnp.int32),
-                 probe]
+                [mal.astype(jnp.int32), env.astype(jnp.int32), probe]
             ),
         ]
     )
-    return ev, b_star, packed
+    return ev1, anchors, ablk, recm, ev2, end2, b1, blk2, packed
 
 
 @functools.partial(
     jax.jit, static_argnames=("tables", "pad_to", "nb", "n_imgs", "cap_w")
 )
 def _spec_sync_assemble_jit(
-    ev, b_star, quotas, *, tables, pad_to, nb, n_imgs, cap_w
+    ev1, anchors, ablk, recm, ev2, end2, b1, blk2, quotas,
+    *, tables, pad_to, nb, n_imgs, cap_w
 ):
-    """Adopt cold events: trim to blocks >= b_star, re-base, materialize,
-    ragged-gather into the dense per-image tensor, resolve DC."""
-    L = ev.shape[1]
-    valid = ev >= 0
-    blk = (ev >> 18) & 0x1FFF
-    # the upper bound zeroes padding lanes (quota 0) and any cold tail a
-    # halted lane left behind; real lanes' cold decode stops exactly at
-    # b_star + quota so the bound is a no-op for them
-    keep = (
-        valid
-        & (blk >= b_star[None, :])
-        & (blk < (b_star + quotas)[None, :])
+    """Merge stitch + adopted cold events, materialize, ragged-gather
+    into the dense per-image tensor, resolve DC.
+
+    Validity per lane (latched into the returned err mask, which rides
+    the caller's fence): the (quota - blk2)-th adopted cold block's
+    anchor must exist at bit position E, and NO pass-1 recovery marker
+    may lie in (end2, E] — a recovery there would have corrupted the
+    adopted events (last lanes recover legitimately in the zero padding
+    BEYOND E; their quota is the host-computed image remainder)."""
+    L = ev1.shape[1]
+    take2 = jnp.minimum(blk2, quotas)
+    rest = jnp.maximum(quotas - blk2, 0)
+
+    v2 = ev2 >= 0
+    blk2ev = (ev2 >> 18) & 0x1FFF
+    keep2 = v2 & (blk2ev < take2[None, :])
+    part2 = jnp.where(keep2, ev2, jnp.int32(-1))
+
+    v1 = ev1 >= 0
+    blk1ev = (ev1 >> 18) & 0x1FFF
+    keep1 = (
+        v1 & (blk1ev >= b1[None, :]) & (blk1ev < (b1 + rest)[None, :])
     )
-    ev2 = jnp.where(keep, ev - (b_star[None, :] << 18), jnp.int32(-1))
-    err = jnp.zeros(L, bool)
-    coeffs_t, err = materialize_checked(ev2, cap_w * 64, err)
+    # re-base: final block index = blk1 - b1 + blk2 (the +-(d<<18) only
+    # touches bits >= 18: the low fields are untouched by construction)
+    part1 = jnp.where(
+        keep1, ev1 - ((b1 - blk2)[None, :] << 18), jnp.int32(-1)
+    )
+    ev = jnp.concatenate([part2, part1], axis=0)
+
+    # adopted-span validity
+    big = jnp.int32(0x7FFFFFFF)
+    at_end = (anchors >= 0) & (ablk == (b1 + rest)[None, :])
+    E = jnp.min(jnp.where(at_end, anchors >> 2, big), axis=0)
+    found = (rest == 0) | (E < big)
+    bad_span = (rest > 0) & jnp.any(
+        (recm > end2[None, :]) & (recm <= E[None, :]), axis=0
+    )
+    err = (quotas > 0) & (~found | bad_span)
+
+    coeffs_t, err = materialize_checked(ev, cap_w * 64, err)
     per_lane = coeffs_t.T.reshape(L, cap_w, 64).astype(jnp.int32)
     coeffs = _spec_gather_jit(
         per_lane, quotas, tables=tables, pad_to=pad_to, nb=nb, n_imgs=n_imgs
@@ -2002,16 +2099,22 @@ def spec_sync_start(
     inherit = np.ones(L, bool)
     inherit[plan.img_first] = False
     inherit[plan.n_lanes:] = False
-    real = np.zeros(L, bool)
-    real[: plan.n_lanes] = True
+    body = np.zeros(L, bool)
+    body[: plan.n_lanes] = True
+    body[plan.img_first + plan.img_lanes - 1] = False
     bpc, spc = _steps_spec(steps)
-    ev, b_star, packed = _spec_sync_scan_jit(
-        xs, jnp.asarray(plan.chunk_bits), jnp.asarray(inherit),
-        jnp.asarray(real),
-        tables=plan.tables, blk_cap=plan.blk_cap, steps=steps,
-        anchor_rows=_ANCHOR_ROWS * spc // (bpc * 2),
+    rows = (SPEC_STITCH_BYTES + SPEC_OVERLAP + 64) * 2 * spc // (bpc * 2)
+    ev1, anchors, ablk, recm, ev2, end2, b1, blk2, packed = (
+        _spec_sync_scan_jit(
+            xs, jnp.asarray(plan.chunk_bits), jnp.asarray(inherit),
+            jnp.asarray(body),
+            tables=plan.tables, blk_cap=plan.blk_cap, steps=steps,
+            anchor_rows=rows,
+        )
     )
-    return SpecSyncPending(plan, ev, b_star, packed, steps)
+    return SpecSyncPending(
+        plan, ev1, anchors, ablk, recm, ev2, end2, b1, blk2, packed, steps
+    )
 
 
 def decode_speculative_sync(
@@ -2041,19 +2144,38 @@ def decode_speculative_sync(
     fetched = np.asarray(jax.device_get(pending.packed))
     quotas = fetched[:L].astype(np.int32)
     hits = fetched[L : 2 * L].astype(bool)
-    any_mal, any_env = (int(v) for v in fetched[2 * L : 2 * L + 2])
+    blk2 = fetched[2 * L : 3 * L].astype(np.int32)
+    any_mal, any_env = (int(v) for v in fetched[3 * L : 3 * L + 2])
     quotas[T:] = 0
     hits[T:] = True
 
-    ok = bool(hits[:T].all())
-    if ok:
-        for first, S, nb in zip(
-            plan.img_first, plan.img_lanes, plan.img_blocks
+    w2 = min(SPEC_STITCH_BYTES, plan.chunk_bytes)
+    ok = True
+    for first, S, nb in zip(
+        plan.img_first, plan.img_lanes, plan.img_blocks
+    ):
+        # a LAST lane's device count runs past the stream end into the
+        # zero padding (garbage): its true quota is the image remainder,
+        # and its adopted span is validated precisely in the assemble
+        # step (quota-th anchor + recovery markers).  When the whole
+        # remainder fits the stitch window, pass 2's true prefix is the
+        # complete decode — valid iff it counted at least the remainder
+        # before any padding latch.
+        li = first + S - 1
+        body_sum = int(quotas[first:li].sum())
+        last = int(nb) - body_sum
+        quotas[li] = last
+        if int(plan.chunk_bits[li]) <= w2 * 8:
+            hits[li] = blk2[li] >= last
+        span = quotas[first : first + S]
+        if (
+            last < 0
+            or int(span.max(initial=0)) > plan.blk_cap
+            or int(span.min(initial=0)) < 0
         ):
-            span = quotas[first : first + S]
-            if int(span.sum()) != int(nb) or int(span.max(initial=0)) > plan.blk_cap:
-                ok = False
-                break
+            ok = False
+            break
+    ok = ok and bool(hits[:T].all())
     if not ok:
         if any_env:
             # density pressure: let the caller retry the LADDER at
@@ -2070,7 +2192,9 @@ def decode_speculative_sync(
         cap_w *= 2
     cap_w = min(cap_w, plan.blk_cap)
     coeffs, err = _spec_sync_assemble_jit(
-        pending.ev, pending.b_star, jnp.asarray(quotas),
+        pending.ev1, pending.anchors, pending.ablk, pending.recm,
+        pending.ev2, pending.end2, pending.b1, pending.blk2,
+        jnp.asarray(quotas),
         tables=plan.tables, pad_to=pad_to or len(imgs),
         nb=int(plan.img_blocks[0]), n_imgs=len(imgs), cap_w=cap_w,
     )

@@ -511,6 +511,19 @@ class BatchDecoder:
                         )
                     )
                     chunk.backend = "fsm-spec-sync"
+                except fsm.SpecEnvelopeError:
+                    if fsm.steps_below_safe(chunk.steps):
+                        raise  # outer ladder retries the SYNC at SAFE
+                    # env at SAFE can be a broken-chain artifact of the
+                    # sync scheme: give the Jacobi its own shot
+                    chunk.spec_sync_misses += 1
+                    coeffs_dev, (err_mal, err_env) = (
+                        fsm.decode_speculative_batch(
+                            chunk.imgs, device_out=True, pad_to=B,
+                            steps=chunk.steps,
+                        )
+                    )
+                    chunk.backend = "fsm-spec"
                 except fsm.SpecSyncMiss:
                     chunk.spec_sync_misses += 1
                     coeffs_dev, (err_mal, err_env) = (
