@@ -253,19 +253,22 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
 
     for i, (kind, uploaded, q_d, plan, part) in enumerate(chunks):
         if kind == "spec":
-            # no-restart streams: single-pass sync-log speculative decode
-            # (device-resident); Jacobi fixed point on a resolve miss
+            # no-restart streams: stitch-sync speculative decode through
+            # the fused tail (assemble+gather+pixels, one program);
+            # Jacobi fixed point on a resolve miss
             try:
-                coeffs, (err_mal, err_env) = fsm.decode_speculative_sync(
-                    part, device_out=True, pad_to=chunk, pending=pendings[i],
+                rgb, _risk, _c, _dc, err = fused.decode_spec_sync_fused(
+                    pendings[i], geom, q_d, chunk, len(part),
+                    want_coeffs=False,
                 )
+                fence(rgb, err, err)
             except (fsm.SpecSyncMiss, fsm.SpecEnvelopeError):
                 coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
                     part, device_out=True, pad_to=chunk,
                     plan=plan, xs_dev=uploaded[0],
                 )
-            rgb, _risk, _tot = pixel_fn(coeffs, q_d)
-            fence(rgb, err_mal, err_env)
+                rgb, _risk, _tot = pixel_fn(coeffs, q_d)
+                fence(rgb, err_mal, err_env)
         elif kind == "super":
             # N chunks, ONE wide scan + per-chunk HBM stages, all fused
             rgb, _risk, _c, _dc, err_mal, err_env, _st = (
@@ -299,9 +302,11 @@ def main():
                     choices=["auto", "host", "fsm", "gather", "oracle"],
                     help="fsm uploads only scan bytes — the right default "
                          "behind this rig's ~50 MB/s host-device tunnel")
-    ap.add_argument("--chunk", type=int, default=64,
+    ap.add_argument("--chunk", type=int, default=128,
                     help="chunk size for the device-only headline (wider "
-                         "chunks amortize the scan's serial columns)")
+                         "chunks amortize the scan's serial columns; 128 "
+                         "measured +7%% over 64 on the v5e, 256 regresses "
+                         "— headline_r4_chunk128b.json)")
     ap.add_argument("--superchunk", type=int, default=1,
                     help="restart chunks per wide-scan program.  Measured "
                          "a WASH on the v5e (40.1 vs 39.4 ms/chunk, "

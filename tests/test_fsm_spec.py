@@ -174,6 +174,31 @@ def test_spec_sync_truncated_falls_out():
                                     device_out=False)
 
 
+def test_engine_spec_sync_fused_tail_single_device():
+    # single-device mesh: the engine routes no-restart chunks through the
+    # fused sync tail (assemble+gather+pixels one program, int16 + DC
+    # side channel); output must stay bit-exact incl. the repair path
+    import os
+
+    from tpujpeg.parallel import sharding
+    from tpujpeg.runtime.batch import BatchDecoder
+    from conftest import FIXTURES
+
+    path = os.path.join(FIXTURES, "4_800x600.jpg")
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = BatchDecoder(
+        backend="fsm", chunk_size=1,
+        mesh=sharding.make_mesh(n_batch=1, n_stripe=1),
+    )
+    got = dec.decode([data])
+    assert dec.stats.backend in ("fsm-spec-sync", "fsm-spec")
+    ref = oracle.decode(parse(data))
+    np.testing.assert_array_equal(got[0], ref.astype(np.uint8))
+
+
 def test_spec_sync_miss_fallback_in_engine(monkeypatch):
     # a forced resolve miss must fall back to the Jacobi path inside the
     # engine, count in stats, and stay bit-exact

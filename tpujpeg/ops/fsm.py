@@ -1656,6 +1656,42 @@ def _spec_gather_jit(per_lane, quotas, *, tables, pad_to, nb, n_imgs):
     return coeffs
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tables", "pad_to", "nb", "n_imgs")
+)
+def _spec_gather16_jit(per_lane, quotas, *, tables, pad_to, nb, n_imgs):
+    """_spec_gather_jit at int16 width: the dense tensor stays int16
+    (raw DC diffs) and the resolved DC rides a separate int32 [B, nb]
+    side channel for the pixel program's dc= input — the full-tensor
+    int32 rewrite was the gather's dominant HBM cost."""
+    L, cap, _ = per_lane.shape
+    total = n_imgs * nb
+    q = quotas.astype(jnp.int32)
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(q)[:-1].astype(jnp.int32)]
+    )
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    off_m = jnp.where(q > 0, off, total)
+    lane_at = jnp.zeros(total, jnp.int32).at[off_m].max(lanes, mode="drop")
+    off_at = jnp.zeros(total, jnp.int32).at[off_m].max(off, mode="drop")
+    lane_of = jax.lax.cummax(lane_at)
+    off_of = jax.lax.cummax(off_at)
+    g = jnp.arange(total, dtype=jnp.int32)
+    idx = lane_of * cap + (g - off_of)
+    flat = per_lane.reshape(L * cap, 64)
+    coeffs = jnp.take(flat, idx, axis=0).reshape(n_imgs, nb, 64)
+    dc = _dc_cumsum(coeffs[:, :, 0].astype(jnp.int32), tables, nb)
+    if pad_to > n_imgs:
+        coeffs = jnp.concatenate(
+            [coeffs,
+             jnp.zeros((pad_to - n_imgs, nb, 64), coeffs.dtype)]
+        )
+        dc = jnp.concatenate(
+            [dc, jnp.zeros((pad_to - n_imgs, nb), dc.dtype)]
+        )
+    return coeffs, dc
+
+
 @jax.jit
 def _spec_fetch_pack(blocks, err_mal, err_env, changed, countable):
     """Pack the chunk's single fetch: [L] block counts + 3 flag ints."""
@@ -2071,11 +2107,11 @@ def _spec_sync_assemble_jit(
     err = (quotas > 0) & (~found | bad_span)
 
     coeffs_t, err = materialize_checked(ev, cap_w * 64, err)
-    per_lane = coeffs_t.T.reshape(L, cap_w, 64).astype(jnp.int32)
-    coeffs = _spec_gather_jit(
+    per_lane = coeffs_t.T.reshape(L, cap_w, 64)
+    coeffs, dc = _spec_gather16_jit(
         per_lane, quotas, tables=tables, pad_to=pad_to, nb=nb, n_imgs=n_imgs
     )
-    return coeffs, err
+    return coeffs, dc, err
 
 
 class SpecSyncMiss(JpegError):
@@ -2117,28 +2153,13 @@ def spec_sync_start(
     )
 
 
-def decode_speculative_sync(
-    imgs: list[JpegImage],
-    chunk_bytes: int = 1024,
-    device_out: bool = True,
-    pad_to: int | None = None,
-    plan: SpecBatchPlan | None = None,
-    xs_dev=None,
-    steps=STEPS_PRODUCTION,
-    pending: SpecSyncPending | None = None,
-):
-    """Single-pass speculative batch decode (see module note above).
+def spec_sync_resolve_host(pending: SpecSyncPending):
+    """THE one host round-trip of the sync path: fetch quotas/hits,
+    resolve last-lane remainders, validate the per-image chain.
 
-    Returns (coeffs device [pad_to, nb, 64], err_mask [L]) like
-    decode_speculative_batch(device_out=True).  Raises SpecSyncMiss when
-    any lane failed to resolve (callers fall back to the Jacobi path) and
-    SpecEnvelopeError when the cold pass classified envelope pressure.
-    """
-    if pending is None:
-        pending = spec_sync_start(imgs, chunk_bytes, plan, xs_dev, steps)
+    Returns (quotas int32 [L], cap_w) or raises SpecEnvelopeError /
+    SpecSyncMiss for the caller's retry ladder."""
     plan = pending.plan
-    if device_out and len(set(int(nb) for nb in plan.img_blocks)) != 1:
-        raise JpegError("device_out requires a uniform-geometry batch")
     T = plan.n_lanes
     L = plan.chunk_bits.shape[0]
     fetched = np.asarray(jax.device_get(pending.packed))
@@ -2191,12 +2212,43 @@ def decode_speculative_sync(
     while cap_w < int(quotas.max(initial=1)):
         cap_w *= 2
     cap_w = min(cap_w, plan.blk_cap)
-    coeffs, err = _spec_sync_assemble_jit(
+    return quotas, cap_w
+
+
+def decode_speculative_sync(
+    imgs: list[JpegImage],
+    chunk_bytes: int = 1024,
+    device_out: bool = True,
+    pad_to: int | None = None,
+    plan: SpecBatchPlan | None = None,
+    xs_dev=None,
+    steps=STEPS_PRODUCTION,
+    pending: SpecSyncPending | None = None,
+):
+    """Single-pass speculative batch decode (see module note above).
+
+    Returns (coeffs device [pad_to, nb, 64], err_mask [L]) like
+    decode_speculative_batch(device_out=True).  Raises SpecSyncMiss when
+    any lane failed to resolve (callers fall back to the Jacobi path) and
+    SpecEnvelopeError when the cold pass classified envelope pressure.
+    """
+    if pending is None:
+        pending = spec_sync_start(imgs, chunk_bytes, plan, xs_dev, steps)
+    plan = pending.plan
+    if device_out and len(set(int(nb) for nb in plan.img_blocks)) != 1:
+        raise JpegError("device_out requires a uniform-geometry batch")
+    quotas, cap_w = spec_sync_resolve_host(pending)
+    coeffs16, dc, err = _spec_sync_assemble_jit(
         pending.ev1, pending.anchors, pending.ablk, pending.recm,
         pending.ev2, pending.end2, pending.b1, pending.blk2,
         jnp.asarray(quotas),
         tables=plan.tables, pad_to=pad_to or len(imgs),
         nb=int(plan.img_blocks[0]), n_imgs=len(imgs), cap_w=cap_w,
+    )
+    # public contract: int32 coefficients with DC resolved (the fused
+    # engine/bench paths consume (coeffs16 raw-DC, dc) directly instead)
+    coeffs = jnp.concatenate(
+        [dc[:, :, None], coeffs16[:, :, 1:].astype(jnp.int32)], axis=2
     )
     if not device_out:
         got = np.asarray(jax.device_get(coeffs))

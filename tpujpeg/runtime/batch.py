@@ -504,6 +504,40 @@ class BatchDecoder:
                         if isinstance(pending, fsm.SpecSyncPending)
                         else None
                     )
+                    if self.mesh.devices.size == 1:
+                        # fused tail: adopt+materialize+gather+pixels in
+                        # ONE program, int16 throughout, resolved DC on
+                        # the side channel (runtime/fused.py)
+                        from . import fused
+
+                        if sync_pending is None:
+                            sync_pending = fsm.spec_sync_start(
+                                chunk.imgs, steps=chunk.steps
+                            )
+                        if len(set(
+                            int(nb) for nb in sync_pending.plan.img_blocks
+                        )) != 1:
+                            raise fsm.SpecSyncMiss(
+                                "mixed geometry in spec chunk"
+                            )
+                        rgb, risk, coeffs16, dc, err = (
+                            fused.decode_spec_sync_fused(
+                                sync_pending, geom,
+                                jnp.asarray(self._quant_block(chunk, B)),
+                                B, len(chunk.imgs), self.fancy,
+                                want_coeffs=self.strict,
+                            )
+                        )
+                        chunk.out = (rgb, risk, None)
+                        chunk.coeffs_dev = coeffs16
+                        chunk.dc_dev = dc
+                        chunk.err_mal = err
+                        chunk.err_env = jnp.zeros_like(err)
+                        chunk.fence = _pack_fence(
+                            rgb, chunk.err_mal, chunk.err_env
+                        )
+                        chunk.backend = "fsm-spec-sync"
+                        return True
                     coeffs_dev, (err_mal, err_env) = (
                         fsm.decode_speculative_sync(
                             chunk.imgs, device_out=True, pad_to=B,

@@ -256,6 +256,60 @@ def decode_superchunk(plans: list, quants, geom: Geometry, pad_to: int,
 
 
 @functools.lru_cache(maxsize=64)
+def compiled_spec_tail(
+    geom: Geometry,
+    tables: fsm.FsmTables,
+    nb: int,
+    pad_to: int,
+    n_imgs: int,
+    cap_w: int,
+    fancy: bool = False,
+    want_coeffs: bool = True,
+):
+    """Sync-spec tail, ONE program: adopt/merge events -> materialize ->
+    int16 ragged gather (_spec_gather16_jit) -> pixel program with the
+    resolved-DC side channel.  Fusing the gather into the pixel
+    prologue's transposes removes a standalone full-tensor pass (the
+    spec path's gather measured ~21 ms/chunk on the v5e), mirroring what
+    decode_chunk_fused does for the restart path."""
+
+    def run(ev1, anchors, ablk, recm, ev2, end2, b1, blk2, quotas, quant):
+        coeffs16, dc, err = fsm._spec_sync_assemble_jit(
+            ev1, anchors, ablk, recm, ev2, end2, b1, blk2, quotas,
+            tables=tables, pad_to=pad_to, nb=nb, n_imgs=n_imgs, cap_w=cap_w,
+        )
+        rgb, risk = jax.vmap(
+            lambda c, d, q: device_decode_fn(geom, c, q, fancy=fancy, dc=d)
+        )(coeffs16, dc, quant)
+        if not want_coeffs:
+            coeffs16 = dc = None
+        return rgb, risk, coeffs16, dc, err
+
+    return jax.jit(run)
+
+
+def decode_spec_sync_fused(pending, geom: Geometry, quant, pad_to: int,
+                           n_imgs: int, fancy: bool = False,
+                           want_coeffs: bool = True):
+    """Finish a spec_sync_start chunk through the fused tail.
+
+    Raises SpecEnvelopeError / SpecSyncMiss via the shared host resolver
+    (the one fetch, hidden when callers pipeline starts).  Returns
+    (rgb, risk, coeffs16 raw-DC, dc, err_mask)."""
+    plan = pending.plan
+    quotas, cap_w = fsm.spec_sync_resolve_host(pending)
+    fn = compiled_spec_tail(
+        geom, plan.tables, int(plan.img_blocks[0]), pad_to, n_imgs,
+        cap_w, fancy, want_coeffs,
+    )
+    return fn(
+        pending.ev1, pending.anchors, pending.ablk, pending.recm,
+        pending.ev2, pending.end2, pending.b1, pending.blk2,
+        jnp.asarray(quotas), quant,
+    )
+
+
+@functools.lru_cache(maxsize=64)
 def compiled_fused_bucketed(
     bucket: Geometry,
     tables: fsm.FsmTables,
