@@ -621,7 +621,13 @@ class BatchDecoder:
 
         try:
             if chunk.bucketed:
-                plan = fsm.build_plan_bucketed(chunk.imgs, chunk.geom)
+                try:
+                    plan = fsm.build_plan_bucketed(chunk.imgs, chunk.geom)
+                except JpegError as e:
+                    # bucketed chunks outside the bucket-FSM envelope go
+                    # to the HOST-bucketed path, never the (mixed-
+                    # geometry) speculative one
+                    return e
                 up = tuple(
                     jax.device_put(jnp_.asarray(a))
                     for a in (plan.xs, plan.seg_n, plan.wrap_at, plan.skip)
