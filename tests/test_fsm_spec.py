@@ -213,15 +213,15 @@ def test_spec_sync_miss_fallback_in_engine(monkeypatch):
     with open(path, "rb") as f:
         data = f.read()
 
-    real = fsm.decode_speculative_sync
-
     def miss(*a, **k):
         raise fsm.SpecSyncMiss("forced")
 
-    monkeypatch.setattr(fsm, "decode_speculative_sync", miss)
+    # the resolve is shared by the fused (1-device) and plain sync
+    # paths, so failing it exercises the fallback on any mesh
+    monkeypatch.setattr(fsm, "spec_sync_resolve_host", miss)
     dec = BatchDecoder(backend="fsm", chunk_size=1)
     got = dec.decode([data])
-    monkeypatch.setattr(fsm, "decode_speculative_sync", real)
+    monkeypatch.undo()
     assert dec.stats.backend == "fsm-spec"
     assert dec.stats.spec_sync_misses == 1
     ref = oracle.decode(parse(data))

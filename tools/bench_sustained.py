@@ -58,6 +58,10 @@ def main(argv=None) -> int:
     ap.add_argument("--backend", default="fsm")
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--windows", type=int, default=10)
+    ap.add_argument("--device-only", action="store_true",
+                    help="skip the end-to-end engine pass per window "
+                         "(bisect: does engine state poison device "
+                         "windows, or does staging itself leak?)")
     ap.add_argument("--mixed-sizes", action="store_true",
                     help="draw sizes from 200..2000 and decode with "
                          "size_buckets=True (the recompile-free path)")
@@ -123,6 +127,20 @@ def main(argv=None) -> int:
             assert fence < (1 << 23), "FSM error lanes in sustained window"
             dev_mbps = round(sum(map(len, part)) / dt_dev / 1e6, 2)
             del chunks
+        if args.device_only:
+            rec = {
+                "window": w,
+                "images": len(part),
+                "compressed_MB": round(sum(map(len, part)) / 1e6, 2),
+                "device_MBps": dev_mbps,
+                "MBps": None,
+                "rss_MB": round(_rss_mb(), 1),
+                "backend": "fsm-device-only",
+                "chunks": None,
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+            continue
         t0 = time.perf_counter()
         dec.decode(part, fetch=False)
         dt = time.perf_counter() - t0
@@ -139,7 +157,7 @@ def main(argv=None) -> int:
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    mbps = [r["device_MBps"] or r["MBps"] for r in records]
+    mbps = [r["device_MBps"] or r["MBps"] or 0.0 for r in records]
     rss = [r["rss_MB"] for r in records]
     summary = {
         "metric": "sustained_batch",

@@ -778,6 +778,16 @@ def _fsm_scan(
         )
     bpm = len(tables.comp)
     tsel_list = list(tables.tsel)
+
+    def _tsel_of(b):
+        # the standard layout (luma set 0, chroma set 1: tsel = [0,1,..,1])
+        # collapses the per-step select tree to one compare; grayscale /
+        # single-set scans collapse to a constant
+        if all(v == tsel_list[0] for v in tsel_list):
+            return jnp.full_like(b, tsel_list[0])
+        if tsel_list[0] == 0 and all(v == 1 for v in tsel_list[1:]):
+            return (b != 0).astype(jnp.int32)
+        return _index_tree(b, tsel_list)
     comp_pad = 0  # comp kept host-side; not needed in the scan (DC = diffs)
     del comp_pad
     zero = jnp.zeros(L, jnp.int32)
@@ -802,7 +812,7 @@ def _fsm_scan(
 
         # ---- one piecewise-affine evaluation -> (code length, symbol)
         is_dc = k == 0
-        tsel = _index_tree(bim, tsel_list)
+        tsel = _tsel_of(bim)
         tbl = jnp.where(is_dc, tsel, tsel + 2)
         if tables.len_keys is not None:
             # two-level map (production default): per-(table, length)
@@ -922,7 +932,7 @@ def _fsm_scan(
         end_bim = jnp.where(newly, bim2, end_bim)
 
         # ---- trailing size-0 DC of the next block (same envelope logic)
-        ts2 = _index_tree(bim2, tsel_list)
+        ts2 = _tsel_of(bim2)
         dl = _index_tree(ts2, list(tables.dc0_len))
         dcc = _index_tree(ts2, list(tables.dc0_code))
         can_dc0 = block_end & ~done2 & (dl > 0) & (navail >= dl)

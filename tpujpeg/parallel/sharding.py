@@ -113,6 +113,7 @@ def compiled_batch_decoder(
             mesh=mesh,
             in_specs=(P("batch"), P("batch"), P("batch")),
             out_specs=(P("batch"), P("batch"), P()),
+            check_vma=False,  # pallas_call outputs carry no vma info
         )(coeffs, quant, extents)
 
     if bucketed:
