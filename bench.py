@@ -218,6 +218,22 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
     pixel_fn = _sharding.compiled_batch_decoder(
         geom, _sharding.make_mesh(n_stripe=1)
     )
+
+    # device_put is ASYNC: without forcing the transfers here, the first
+    # timed run blocks on ~tunnel-speed uploads and measures the link,
+    # not the decode (caught by the r4 sustained windows: 185 -> 29 MB/s
+    # purely from staging landing inside the timed region).  One fetch
+    # of one element per staged buffer makes "staged" mean RESIDENT.
+    import jax.numpy as jnp  # noqa: F811 (local import for tool reuse)
+
+    probes = []
+    for entry in chunks:
+        uploaded, q_d = entry[1], entry[2]
+        for a in uploaded:
+            if a is not None:
+                probes.append(a.ravel()[0].astype(jnp.int32))
+        probes.append(q_d.ravel()[0].astype(jnp.int32))
+    np.asarray(jax.device_get(jnp.stack(probes).sum()))
     return chunks, pixel_fn, geom
 
 
