@@ -20,6 +20,12 @@ windows swung 1.67-26.2 MB/s of pure tunnel noise):
     this rig is tunnel-capped (~45 MB/s shared link); reported for
     honesty, not stability judgment.
 
+RSS note: on this rig the axon tunnel client RETAINS every host upload
+buffer (~0.3 MB/image = the scan bytes; minimal repro with zero tpujpeg
+code in tools/probe_axon_leak.py), so rss_MB grows linearly regardless
+of engine behavior.  The engine-side check is the trimmed per-window
+DELTA staying constant; on standard PJRT backends RSS is flat.
+
   python tools/bench_sustained.py --images 3000 --size 500 \
       --out benchmark_results/sustained_r4.jsonl
 """
@@ -47,6 +53,20 @@ def _rss_mb() -> float:
     with open("/proc/self/statm") as f:
         pages = int(f.read().split()[1])
     return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
+def _trim() -> None:
+    """Release freed arenas back to the OS so the per-window RSS reads
+    LIVE memory, not glibc fragmentation (each window allocates ~35 MB
+    of lane matrices on pool threads, a classic arena-growth pattern)."""
+    import ctypes
+    import gc
+
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
 
 
 def main(argv=None) -> int:
@@ -86,8 +106,11 @@ def main(argv=None) -> int:
     print(f"encoded {len(datas)} images in {time.perf_counter() - t0:.1f}s, "
           f"{sum(map(len, datas)) / 1e6:.1f} MB compressed", flush=True)
 
+    # mixed sizes ride size-class buckets; since r4 the FSM backend takes
+    # bucketed chunks too (fused (bucket, k) programs) when the restart
+    # intervals are row-aligned — which _encode's --rst-rows prep gives
     dec = BatchDecoder(
-        backend="host" if args.mixed_sizes else args.backend,
+        backend=args.backend,
         chunk_size=args.chunk,
         strict=False,
         size_buckets=args.mixed_sizes,
@@ -128,6 +151,7 @@ def main(argv=None) -> int:
             dev_mbps = round(sum(map(len, part)) / dt_dev / 1e6, 2)
             del chunks
         if args.device_only:
+            _trim()
             rec = {
                 "window": w,
                 "images": len(part),
@@ -144,6 +168,7 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         dec.decode(part, fetch=False)
         dt = time.perf_counter() - t0
+        _trim()
         rec = {
             "window": w,
             "images": len(part),
