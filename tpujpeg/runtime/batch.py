@@ -674,19 +674,29 @@ class BatchDecoder:
             except JpegError:
                 return False
         plan = chunk.plan
+        if plan.max_blk * 64 > 32768:
+            # outside the tuned materialize envelope (the Pallas v3 gate;
+            # huge buckets also produced a TPU compile-helper crash on
+            # mixed 200-2000px corpora) — host-bucketed handles these
+            return False
         if chunk.uploaded is None:
             chunk.uploaded = tuple(
                 jax.device_put(jnp.asarray(a))
                 for a in (plan.xs, plan.seg_n, plan.wrap_at, plan.skip)
             )
         B = self._pad_batch()
-        rgb, risk, coeffs, dc, err_mal, err_env, _ = (
-            fused.decode_chunk_bucketed(
-                plan, jnp.asarray(self._quant_block(chunk, B)),
-                chunk.geom, B, self.fancy, chunk.steps,
-                uploaded=chunk.uploaded, want_coeffs=self.strict,
+        try:
+            rgb, risk, coeffs, dc, err_mal, err_env, _ = (
+                fused.decode_chunk_bucketed(
+                    plan, jnp.asarray(self._quant_block(chunk, B)),
+                    chunk.geom, B, self.fancy, chunk.steps,
+                    uploaded=chunk.uploaded, want_coeffs=self.strict,
+                )
             )
-        )
+        except Exception:  # noqa: BLE001 — a failed COMPILE (e.g. the
+            # remote helper dying on an extreme bucket shape) must drop
+            # this chunk to the host-bucketed path, not kill the batch
+            return False
         chunk.out = (rgb, risk, None)
         chunk.coeffs_dev = coeffs
         chunk.dc_dev = dc

@@ -313,8 +313,16 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
     if (sh != H8 || sw != W8) ++n_sub;
   }
   const size_t planes_bytes = sizeof(int16_t) * plane_off[n_comp];
+  // chroma rows + r/g/b byte rows + the color stage's pass buffers
+  // (3 double widen rows + 2 float rows): splitting the exact color
+  // math into per-array passes is what lets gcc vectorize it — the
+  // one-loop form was REJECTED by the vectorizer ("unsupported
+  // data-type double"), leaving a scalar vdivsd per pixel that
+  // dominated the whole native decode (r4 profile: pixels 184 ms vs
+  // entropy 98 ms per 32x640^2).
   const size_t threadrow_bytes =
-      sizeof(int16_t) * n_sub * W8 + 3 * W8;  // chroma rows + r/g/b rows
+      sizeof(int16_t) * n_sub * W8 + 3 * W8 +
+      sizeof(double) * 3 * W8 + sizeof(float) * 2 * W8;
   char* arena = static_cast<char*>(
       g_pixels_arena.get(planes_bytes + threadrow_bytes * nt));
   if (!arena) return -11;
@@ -377,6 +385,11 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
         mine + sizeof(int16_t) * n_sub * W8);
     uint8_t* g8 = r8 + W8;
     uint8_t* b8 = r8 + 2 * W8;
+    double* yd = reinterpret_cast<double*>(b8 + W8);
+    double* cbd = yd + W8;
+    double* crd = cbd + W8;
+    float* rf = reinterpret_cast<float*>(crd + W8);
+    float* bf = rf + W8;
 #pragma omp for schedule(static)
     for (int64_t r = 0; r < height; ++r) {
       const int16_t* crow[3] = {nullptr, nullptr, nullptr};
@@ -393,22 +406,31 @@ int32_t pixels_impl(const T* coeffs, const int32_t* quant,
       if (n_comp == 3) {
         const int16_t* cbrow = crow[1];
         const int16_t* crrow = crow[2];
+        // pass-wise form of the EXACT mixed-precision math (identical
+        // operations and rounding order, just on arrays so every pass
+        // vectorizes — incl. the 8-wide vdivpd for /0.587)
         for (int64_t c = 0; c < width; ++c) {
-          const double yd = yrow[c];
-          const double cb = cbrow[c];
-          const double cr = crrow[c];
-          const float r32 = static_cast<float>(kRed * cr + yd);
-          const float b32 = static_cast<float>(kBlue * cb + yd);
+          yd[c] = static_cast<double>(yrow[c]);
+          cbd[c] = static_cast<double>(cbrow[c]);
+          crd[c] = static_cast<double>(crrow[c]);
+        }
+        for (int64_t c = 0; c < width; ++c) {
+          rf[c] = static_cast<float>(kRed * crd[c] + yd[c]);
+          bf[c] = static_cast<float>(kBlue * cbd[c] + yd[c]);
+        }
+        for (int64_t c = 0; c < width; ++c) {
           const float g32 = static_cast<float>(
-              (yd - 0.114 * static_cast<double>(b32) -
-               0.299 * static_cast<double>(r32)) /
+              (yd[c] - 0.114 * static_cast<double>(bf[c]) -
+               0.299 * static_cast<double>(rf[c])) /
               0.587);
-          r8[c] =
-              static_cast<uint8_t>(clamp255(static_cast<int>(r32 + 128.0f)));
           g8[c] =
               static_cast<uint8_t>(clamp255(static_cast<int>(g32 + 128.0f)));
+        }
+        for (int64_t c = 0; c < width; ++c) {
+          r8[c] =
+              static_cast<uint8_t>(clamp255(static_cast<int>(rf[c] + 128.0f)));
           b8[c] =
-              static_cast<uint8_t>(clamp255(static_cast<int>(b32 + 128.0f)));
+              static_cast<uint8_t>(clamp255(static_cast<int>(bf[c] + 128.0f)));
         }
       } else {
         // grayscale: same formula with cb = cr = 0 (identical rounding)
