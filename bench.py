@@ -107,7 +107,10 @@ def _encode(arr: np.ndarray, quality: int, rst_rows: int) -> bytes:
             arr[:, :, ::-1],
             [
                 cv2.IMWRITE_JPEG_QUALITY, quality,
-                cv2.IMWRITE_JPEG_RST_INTERVAL, rst_rows * (arr.shape[1] // 8),
+                # ceil: restart intervals stay ROW-ALIGNED for widths
+                # that are not multiples of 8 (the bucket-FSM contract)
+                cv2.IMWRITE_JPEG_RST_INTERVAL,
+                rst_rows * ((arr.shape[1] + 7) // 8),
                 cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
                 cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444,
             ],
