@@ -164,6 +164,36 @@ def test_spec_sync_noise_stream():
     )
 
 
+def test_spec_sync_420_subsampled():
+    # 4:2:0 MCUs have bpm=6, so the block phase needs 3 bits in the
+    # packed anchor — the 2-bit packing aliased phases 4-5 into the bit
+    # position and could falsely certify an unsynced lane (advisor r4,
+    # medium).  Everything returned must be bit-exact.
+    imgs = [
+        parse(
+            make_jpeg(
+                shape=(96, 112), quality=88, seed=s, subsampling=2,
+            )
+        )
+        for s in (3, 4, 5)
+    ]
+    assert imgs[0].blocks_per_mcu == 6
+    got = _sync_or_skip(imgs, chunk_bytes=CHUNK, device_out=False)
+    for g, img in zip(got, imgs):
+        np.testing.assert_array_equal(g, oracle.entropy_decode(img))
+
+
+def test_spec_sync_rejects_exotic_bpm():
+    # > 8 blocks/MCU would overflow the 3-bit anchor phase field: the
+    # sync path must raise the TYPED miss (-> Jacobi fallback) instead
+    # of packing aliased anchors
+    img = parse(make_jpeg(shape=(64, 80), quality=88, seed=3))
+    plan = fsm.build_spec_plan_batch([img], CHUNK)
+    exotic = type(plan)(**{**plan.__dict__, "bpm": 9})
+    with pytest.raises(fsm.SpecSyncMiss):
+        fsm.spec_sync_start([img], chunk_bytes=CHUNK, plan=exotic)
+
+
 def test_spec_sync_truncated_falls_out():
     # a truncated stream must raise (miss or envelope), never return
     # silently wrong coefficients

@@ -915,8 +915,13 @@ def _fsm_scan(
             # (post code+EOB, pre any compound DC0 of the NEXT block) and
             # MCU phase; k is 0 at boundaries by construction and DC
             # carries no state (diff emission).  blk2 = cold block count.
+            # The phase field is 3 bits: bim reaches bpm-1 = 5 on 4:2:0
+            # streams (2 bits aliased phases 4-5 into bitpos — a cold
+            # anchor at (X+1, bim-4) would falsely certify stitch target
+            # (X, bim) and silently adopt misaligned events).  bpm > 8 is
+            # guarded in spec_sync_start.
             anchor = jnp.where(
-                block_end, (bitpos << 2) | bim2, jnp.int32(-1)
+                block_end, (bitpos << 3) | bim2, jnp.int32(-1)
             )
             anchor_blk = jnp.where(block_end, blk2, 0)
         k3 = jnp.where(block_end, 0, k2)
@@ -1927,10 +1932,9 @@ def decode_speculative_batch(
 #     (the host runtime measured 47k adopted vs 19 re-decoded blocks).
 #
 # The anchors only need matching near the chunk head: the true entry is
-# at most SPEC_OVERLAP bytes past the boundary, so the match scans the
-# first _ANCHOR_ROWS event rows instead of the full matrix.
-
-_ANCHOR_ROWS = (SPEC_OVERLAP + 64) * 2  # bits/8 * steps: generous cover
+# at most SPEC_OVERLAP bytes past the boundary, so the match scans only
+# the leading event rows (the `rows` computation in spec_sync_start
+# covers the stitch window + overlap at the active steps spec).
 
 
 @dataclass
@@ -2023,7 +2027,8 @@ def _spec_sync_scan_jit(
     end2, bim2e, blk2 = st2[9], st2[10], st2[4]
 
     # membership: has the cold trajectory visited the stitch state?
-    target = (end2 << 2) | bim2e
+    # (3-bit phase field, matching the anchor packing in _fsm_scan)
+    target = (end2 << 3) | bim2e
     rows = min(anchor_rows, anchors.shape[0])
     a = jax.lax.slice_in_dim(anchors, 0, rows, axis=0)
     ab = jax.lax.slice_in_dim(ablk, 0, rows, axis=0)
@@ -2109,7 +2114,7 @@ def _spec_sync_assemble_jit(
     # adopted-span validity
     big = jnp.int32(0x7FFFFFFF)
     at_end = (anchors >= 0) & (ablk == (b1 + rest)[None, :])
-    E = jnp.min(jnp.where(at_end, anchors >> 2, big), axis=0)
+    E = jnp.min(jnp.where(at_end, anchors >> 3, big), axis=0)
     found = (rest == 0) | (E < big)
     bad_span = (rest > 0) & jnp.any(
         (recm > end2[None, :]) & (recm <= E[None, :]), axis=0
@@ -2140,6 +2145,12 @@ def spec_sync_start(
     """Dispatch a chunk's single cold scan + resolve (non-blocking)."""
     if plan is None:
         plan = build_spec_plan_batch(imgs, chunk_bytes)
+    if plan.bpm > 8:
+        # the anchor packing carries a 3-bit MCU phase; exotic
+        # subsampling with > 8 blocks/MCU would alias phases into the
+        # bit-position field — route those to the Jacobi path, whose
+        # state comparison is unpacked
+        raise SpecSyncMiss("spec-sync: > 8 blocks per MCU")
     L = plan.chunk_bits.shape[0]
     xs = xs_dev if xs_dev is not None else jnp.asarray(plan.xs)
     inherit = np.ones(L, bool)

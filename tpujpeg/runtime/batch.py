@@ -34,6 +34,7 @@ so the jit cache stays small.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -48,6 +49,8 @@ from ..io.parser import JpegImage, parse
 from ..pipeline import Geometry, _repair
 from ..ops.color import unpack_mask
 from ..parallel import sharding
+
+_log = logging.getLogger("tpujpeg.batch")
 
 # Host->device bandwidth below which uploading dense coefficients (≈6x the
 # compressed bytes as int16) loses to uploading scan bytes + device FSM.
@@ -489,6 +492,14 @@ class BatchDecoder:
 
         geom = chunk.geom
         B = self._pad_batch()
+        # every spec backend below runs device_out over a uniform-geometry
+        # batch; a mixed chunk would dispatch a full cold+stitch device
+        # scan only to fail host-side (and spuriously count a sync miss)
+        # — the check is host-known, so route straight to the fallback
+        if len({
+            (im.n_mcus, im.blocks_per_mcu) for im in chunk.imgs
+        }) != 1:
+            return False
         chunk.steps = steps if steps is not None else fsm.STEPS_PRODUCTION
         # a STEPS_SAFE retry (or a cold chunk) has no prepared pending;
         # a prepared one was started at production steps only
@@ -693,9 +704,16 @@ class BatchDecoder:
                     uploaded=chunk.uploaded, want_coeffs=self.strict,
                 )
             )
-        except Exception:  # noqa: BLE001 — a failed COMPILE (e.g. the
-            # remote helper dying on an extreme bucket shape) must drop
-            # this chunk to the host-bucketed path, not kill the batch
+        except Exception as e:  # noqa: BLE001 — a failed COMPILE (e.g.
+            # the remote helper dying on an extreme bucket shape) must
+            # drop this chunk to the host-bucketed path, not kill the
+            # batch.  Logged so genuine programming errors (shape bugs,
+            # asserts) never hide as quiet fallbacks.
+            _log.warning(
+                "bucketed fused decode failed (%s: %s); "
+                "falling back to the host-bucketed path",
+                type(e).__name__, e,
+            )
             return False
         chunk.out = (rgb, risk, None)
         chunk.coeffs_dev = coeffs
@@ -939,7 +957,7 @@ class BatchDecoder:
                     # spec path — _process_chunk_fsm would rebuild a
                     # restart plan they cannot have)
                     n_k += 1
-                    if chunk.backend == "fsm-spec":
+                    if chunk.backend.startswith("fsm-spec"):
                         retried = self._process_chunk_spec(
                             chunk, steps=_fsm.STEPS_SAFE
                         )
