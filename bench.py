@@ -276,11 +276,13 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
             # the fused tail (assemble+gather+pixels, one program);
             # Jacobi fixed point on a resolve miss
             try:
-                rgb, _risk, _c, _dc, err = fused.decode_spec_sync_fused(
-                    pendings[i], geom, q_d, chunk, len(part),
-                    want_coeffs=False,
+                rgb, _risk, _c, _dc, err, err_slot = (
+                    fused.decode_spec_sync_fused(
+                        pendings[i], geom, q_d, chunk, len(part),
+                        want_coeffs=False,
+                    )
                 )
-                fence(rgb, err, err)
+                fence(rgb, err, err | err_slot)
             except (fsm.SpecSyncMiss, fsm.SpecEnvelopeError):
                 coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
                     part, device_out=True, pad_to=chunk,
@@ -290,23 +292,23 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
                 fence(rgb, err_mal, err_env)
         elif kind == "super":
             # N chunks, ONE wide scan + per-chunk HBM stages, all fused
-            rgb, _risk, _c, _dc, err_mal, err_env, _st = (
+            rgb, _risk, _c, _dc, err_mal, err_env, err_slot, _st = (
                 fused.decode_superchunk(
                     plan, q_d, geom, chunk, uploaded=uploaded,
                     want_coeffs=False,
                 )
             )
-            fence(rgb, err_mal, err_env)
+            fence(rgb, err_mal, err_env | err_slot)
         else:
             # ONE program per chunk (runtime/fused.py): FSM + butterfly
             # materialization + assemble + pixel stages fused
-            rgb, _risk, _c, _dc, err_mal, err_env, _st = (
+            rgb, _risk, _c, _dc, err_mal, err_env, err_slot, _st = (
                 fused.decode_chunk_fused(
                     plan, q_d, geom, chunk, uploaded=uploaded,
                     want_coeffs=False,
                 )
             )
-            fence(rgb, err_mal, err_env)
+            fence(rgb, err_mal, err_env | err_slot)
     return jnp.stack(fences).sum()
 
 

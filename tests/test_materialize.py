@@ -137,3 +137,106 @@ def test_v3_wider_span_matches_xla(kc, n_rows, max_blk):
                                     kc=kc)
     ).astype(np.int32)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Slot spread (round 5): compressed-coordinate materialization
+# ---------------------------------------------------------------------------
+
+
+def _block_events(rng, n_rows, max_blk, L, mean_ev, heavy=()):
+    """Decode-realistic events: per block, a random set of distinct
+    ascending zigzag positions (the FSM emission contract).  `heavy`
+    lanes get one group stuffed past any capacity.  Returns (ev, want,
+    expected per-lane overflow for the module's C/G)."""
+    C, G = materialize._SLOT_C, materialize._SLOT_G
+    ev = np.full((n_rows, L), -1, np.int32)
+    want = np.zeros((max_blk * 64, L), np.int32)
+    ovf = np.zeros(L, bool)
+    for lane in range(L):
+        rows = []
+        gcnt = {}
+        for b in range(max_blk):
+            n = min(64, int(rng.poisson(mean_ev)))
+            if lane in heavy and b < G:
+                n = 64  # G*64 > C for any C < 64G
+            if not n:
+                continue
+            gcnt[b // G] = gcnt.get(b // G, 0) + n
+            for z in np.sort(rng.choice(64, n, replace=False)):
+                v = int(rng.integers(1, 2047)) * (1 if rng.random() < .5
+                                                  else -1)
+                rows.append((b, int(z), v))
+                want[b * 64 + z, lane] = v
+        ovf[lane] = any(c > C for c in gcnt.values())
+        assert len(rows) <= n_rows
+        pos = np.sort(rng.choice(n_rows, len(rows), replace=False))
+        for p, (b, z, v) in zip(pos, rows):
+            ev[p, lane] = (b << 18) | (z << 12) | (v + 2048)
+    return ev, want, ovf
+
+
+@pytest.mark.parametrize("n_rows,max_blk,mean_ev", [
+    (2600, 60, 20),     # Msp == 2W floor
+    (2100, 33, 4),      # sparse, slot space padded past rank space
+    (4200, 120, 26),    # dense, Np > Msp truncation branch
+])
+def test_slots_match_truth(n_rows, max_blk, mean_ev):
+    rng = np.random.default_rng(n_rows + max_blk)
+    L = 128
+    M = max_blk * 64
+    ev, want, ovf_want = _block_events(rng, n_rows, max_blk, L, mean_ev)
+    dense, ovf = materialize.place_events_slots(
+        jnp.asarray(ev), M=M, interpret=True
+    )
+    dense, ovf = np.asarray(dense).astype(np.int32), np.asarray(ovf)
+    np.testing.assert_array_equal(ovf, ovf_want)
+    ok = ~ovf_want
+    np.testing.assert_array_equal(dense[:, ok], want[:, ok])
+
+
+def test_slots_overflow_latch_is_per_lane():
+    # a stuffed group must latch ONLY its lane; every other lane stays
+    # bit-exact (the batch engine retries latched chunks classically)
+    rng = np.random.default_rng(7)
+    n_rows, max_blk, L = 2600, 60, 128
+    M = max_blk * 64
+    ev, want, ovf_want = _block_events(
+        rng, n_rows, max_blk, L, 10, heavy=(3, 77)
+    )
+    assert ovf_want[3] and ovf_want[77] and ovf_want.sum() == 2
+    dense, ovf = materialize.place_events_slots(
+        jnp.asarray(ev), M=M, interpret=True
+    )
+    dense, ovf = np.asarray(dense).astype(np.int32), np.asarray(ovf)
+    np.testing.assert_array_equal(ovf, ovf_want)
+    ok = ~ovf_want
+    np.testing.assert_array_equal(dense[:, ok], want[:, ok])
+
+
+def test_slots_gating(monkeypatch):
+    if jax.default_backend() == "cpu":
+        assert not materialize._use_pallas_slots(7680, 15360, 5120)
+    else:
+        assert materialize._use_pallas_slots(7680, 15360, 5120)
+        # slot space: ceil(max_blk/G)*C*32 <= 32768 blocks bound
+        assert not materialize._use_pallas_slots(7680, 70000 * 64, 5120)
+    monkeypatch.setenv("TPUJPEG_SLOTS", "0")
+    assert not materialize._use_pallas_slots(7680, 15360, 5120)
+
+
+def test_slots_compiled_on_chip():
+    # Mosaic lowering limits are invisible to interpret mode: the
+    # compiled slot kernels must match exactly on the real chip
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real chip (TPUJPEG_TEST_TPU=1)")
+    rng = np.random.default_rng(43)
+    n_rows, max_blk, L = 2600, 60, 256
+    M = max_blk * 64
+    ev, want, ovf_want = _block_events(rng, n_rows, max_blk, L, 18,
+                                       heavy=(9,))
+    dense, ovf = materialize.place_events_slots(jnp.asarray(ev), M=M)
+    dense, ovf = np.asarray(dense).astype(np.int32), np.asarray(ovf)
+    np.testing.assert_array_equal(ovf, ovf_want)
+    ok = ~ovf_want
+    np.testing.assert_array_equal(dense[:, ok], want[:, ok])

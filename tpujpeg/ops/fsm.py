@@ -1209,7 +1209,8 @@ def _resolve_dc(per_lane: jnp.ndarray, tables: FsmTables, max_blk: int):
     return jnp.concatenate([dc_new[:, :, None], per_lane[:, :, 1:]], axis=2)
 
 
-def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray):
+def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray,
+                        slots: bool | None = False):
     """_materialize_events + the in-program checksum self-check.
 
     Verifies that every packed event's value landed at its target row:
@@ -1221,9 +1222,30 @@ def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray):
     silent wrong output (see the XLA:TPU miscompile note in _decode_jit;
     the check runs exactly when the plain-XLA butterflies are active —
     _selfcheck_enabled).  Also catches events whose target exceeds M.
-    Returns (coeffs_t [M, L] int16/int32, err_mal)."""
-    coeffs_t = _materialize_events(ev, M)
-    if _selfcheck_enabled(ev.shape[0], M, ev.shape[1]):
+
+    slots: None = route through the slot spread when the platform gate
+    allows it (materialize.place_events_slots — coarse stages in
+    compressed group-slot coordinates, the round-5 answer to the spread
+    roofline); False = classic v3/XLA (the retry target when a slot
+    chunk overflows).  The slot path keeps the checksum ON by default
+    (TPUJPEG_SELFCHECK=0 disables): it is new this round, and 2 HBM
+    reads are cheap insurance against another fusion miscompile.
+    Overflow lanes are excluded from the checksum latch — they re-route
+    via err_slot (chunk retry with slots=False), not host fallback.
+
+    Returns (coeffs_t [M, L] int16/int32, err_mal, err_slot bool [L])."""
+    from . import materialize
+
+    N, L = ev.shape
+    use_slots = slots is not False and materialize._use_pallas_slots(N, M, L)
+    if use_slots:
+        coeffs_t, err_slot = materialize.place_events_slots(ev, M=M)
+        check = os.environ.get("TPUJPEG_SELFCHECK", "auto") != "0"
+    else:
+        coeffs_t = _materialize_events(ev, M)
+        err_slot = jnp.zeros((L,), bool)
+        check = _selfcheck_enabled(N, M, L)
+    if check:
         valid = ev >= 0
         val = jnp.where(valid, (ev & 0xFFF) - 2048, 0)
         tgt = jnp.where(
@@ -1234,8 +1256,8 @@ def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray):
         chk_mat = jnp.sum(
             coeffs_t.astype(jnp.int32) * w, axis=0, dtype=jnp.int32
         )
-        err_mal = err_mal | (chk_ev != chk_mat)
-    return coeffs_t, err_mal
+        err_mal = err_mal | ((chk_ev != chk_mat) & ~err_slot)
+    return coeffs_t, err_mal, err_slot
 
 
 def _materialize_events(ev: jnp.ndarray, M: int) -> jnp.ndarray:
@@ -1315,7 +1337,7 @@ def _decode_jit(
     # silent corruption.
     ev = events.reshape(stride * S, L)
     M = max_blk * 64
-    coeffs_t, err_mal = materialize_checked(ev, M, err_mal)
+    coeffs_t, err_mal, _ = materialize_checked(ev, M, err_mal, slots=False)
     coeffs_t = coeffs_t.astype(jnp.int32)
     per_lane = coeffs_t.T.reshape(L, max_blk, 64)
     if not dc_diff:
@@ -2075,11 +2097,12 @@ def _spec_sync_scan_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tables", "pad_to", "nb", "n_imgs", "cap_w")
+    jax.jit,
+    static_argnames=("tables", "pad_to", "nb", "n_imgs", "cap_w", "slots"),
 )
 def _spec_sync_assemble_jit(
     ev1, anchors, ablk, recm, ev2, end2, b1, blk2, quotas,
-    *, tables, pad_to, nb, n_imgs, cap_w
+    *, tables, pad_to, nb, n_imgs, cap_w, slots: bool | None = None
 ):
     """Merge stitch + adopted cold events, materialize, ragged-gather
     into the dense per-image tensor, resolve DC.
@@ -2121,12 +2144,17 @@ def _spec_sync_assemble_jit(
     )
     err = (quotas > 0) & (~found | bad_span)
 
-    coeffs_t, err = materialize_checked(ev, cap_w * 64, err)
+    # merged stream stays slot-compatible: adopted blocks [0, take2) then
+    # rebased stitch blocks [blk2, ...) — monotone per lane, and compact
+    # squeezes the interspersed invalid rows before the boundary scan
+    coeffs_t, err, err_slot = materialize_checked(
+        ev, cap_w * 64, err, slots=slots
+    )
     per_lane = coeffs_t.T.reshape(L, cap_w, 64)
     coeffs, dc = _spec_gather16_jit(
         per_lane, quotas, tables=tables, pad_to=pad_to, nb=nb, n_imgs=n_imgs
     )
-    return coeffs, dc, err
+    return coeffs, dc, err, err_slot
 
 
 class SpecSyncMiss(JpegError):
@@ -2259,12 +2287,15 @@ def decode_speculative_sync(
     if device_out and len(set(int(nb) for nb in plan.img_blocks)) != 1:
         raise JpegError("device_out requires a uniform-geometry batch")
     quotas, cap_w = spec_sync_resolve_host(pending)
-    coeffs16, dc, err = _spec_sync_assemble_jit(
+    # slots=False: this staged convenience path has no slot-retry ladder
+    # (the fused spec tail is the production route and carries one)
+    coeffs16, dc, err, _ = _spec_sync_assemble_jit(
         pending.ev1, pending.anchors, pending.ablk, pending.recm,
         pending.ev2, pending.end2, pending.b1, pending.blk2,
         jnp.asarray(quotas),
         tables=plan.tables, pad_to=pad_to or len(imgs),
         nb=int(plan.img_blocks[0]), n_imgs=len(imgs), cap_w=cap_w,
+        slots=False,
     )
     # public contract: int32 coefficients with DC resolved (the fused
     # engine/bench paths consume (coeffs16 raw-DC, dc) directly instead)

@@ -425,14 +425,97 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
     can be measured on a real chip; None (production) runs everything.
     """
     from jax.experimental import pallas as pl
+
+    N, L = ev.shape
+    W = _W
+    tile = min(LANE_TILE, L)
+    Mp = -(-M // W) * W
+
+    res = _compact_to_rank(ev, interpret=interpret, kc=kc,
+                           stop_after=stop_after)
+    if stop_after in ("init", "compact_fine", "compact"):
+        return res
+    p, o = res
+    Np = p.shape[0]
+
+    # unpack compacted events -> spread offsets/values (int16)
+    cvalid = o >= 0
+    blk = (p >> 18) & 0x1FFF
+    z = (p >> 12) & 63
+    val = (p & 0xFFF) - 2048
+    pos = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    o2 = jnp.where(cvalid, blk * 64 + z - pos, -1).astype(jnp.int16)
+    v = jnp.where(cvalid, val, 0).astype(jnp.int16)
+
+    def fit(x, fill):
+        if Mp > Np:
+            pad = jnp.full((Mp - Np, L), fill, x.dtype)
+            return jnp.concatenate([x, pad])
+        # compacted rank r has target >= r, so rows >= Mp hold no entries
+        return x[:Mp]
+
+    o2, v = fit(o2, jnp.int16(-1)), fit(v, jnp.int16(0))
+    if stop_after == "unpack":
+        return o2, v
+
+    # coarse spread stages (d >= kc*W), XLA
+    n_win_s = Mp // W
+    k_s = _span_for(n_win_s, kc, default=_KS)
+    d = 1
+    while d * 2 < Mp:
+        d *= 2
+    while d >= k_s * W:
+        sp = _rolled_down(v, d, jnp.int16(0))
+        so = _rolled_down(o2, d, jnp.int16(-1))
+        move = so >= d
+        stay = (o2 >= 0) & (o2 < d)
+        v = jnp.where(move, sp, jnp.where(stay, v, jnp.int16(0)))
+        o2 = jnp.where(move, so - jnp.int16(d),
+                       jnp.where(stay, o2, jnp.int16(-1)))
+        d //= 2
+
+    if stop_after == "spread_coarse":
+        return o2, v
+    # fine spread stages (d < kc*W), Pallas
+    from jax.experimental.pallas import tpu as pltpu
+
+    cur_s = pl.BlockSpec((W, tile), lambda q, i: (q, i),
+                         memory_space=pltpu.VMEM)
+    preds = [
+        pl.BlockSpec((W, tile),
+                     (lambda j: lambda q, i: (
+                         jnp.maximum(q - j, 0), i))(j),
+                     memory_space=pltpu.VMEM)
+        for j in range(k_s, 0, -1)
+    ]
+    stack_s = preds + [cur_s]
+    out = pl.pallas_call(
+        functools.partial(_fine_spread_kernel, kc=k_s),
+        out_shape=jax.ShapeDtypeStruct((Mp, L), jnp.int16),
+        grid=(n_win_s, L // tile),
+        in_specs=stack_s + stack_s,
+        out_specs=cur_s,
+        interpret=interpret,
+    )(*([o2] * (k_s + 1) + [v] * (k_s + 1)))
+    return out[:M]
+
+
+def _compact_to_rank(ev: jnp.ndarray, *, interpret: bool = False,
+                     kc: int | None = None, stop_after: str | None = None):
+    """Shared compact-to-rank phase: events [N, L] -> (p int32, o int16)
+    at [Np, L] with every valid event at its per-lane rank row (o == 0
+    there after completion... o holds remaining offsets DURING the
+    network; on return compaction is complete and `o >= 0` marks valid
+    rows).  Fine stages run in the Pallas rank kernel, coarse stages in
+    XLA — exactly the first half of place_events_v3, shared with the
+    slot path (place_events_slots)."""
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N, L = ev.shape
     W = _W
     tile = min(LANE_TILE, L)
     Np = -(-N // W) * W
-    Mp = -(-M // W) * W
-
     n_win_c = Np // W
     k_c = _span_for(n_win_c, kc)
     cur_c = pl.BlockSpec((W, tile), lambda q, i: (q, i),
@@ -517,64 +600,301 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
 
     if stop_after == "compact":
         return p, o
-    # unpack compacted events -> spread offsets/values (int16)
-    cvalid = o >= 0
-    blk = (p >> 18) & 0x1FFF
-    z = (p >> 12) & 63
-    val = (p & 0xFFF) - 2048
+    return p, o
+
+
+# ---------------------------------------------------------------------------
+# Slot materialization (round 5): spread in compressed coordinates
+# ---------------------------------------------------------------------------
+#
+# The v3 spread network expands the compacted event stream into the FULL
+# dense space [M = max_blk*64, L] — every coarse XLA pass round-trips a
+# [M, L] offset/value matrix through HBM, and the profile pins those
+# passes as the single largest decode cost (PERFORMANCE.md round-4
+# roofline: ~5 GB forced traffic per 64-image chunk vs the reference's
+# zero-amplification prefix-sum + direct writes, parser.cu:176-194).
+# Dense rows are mostly zeros: measured corpora carry ~5-11 nonzero
+# coefficients per 64-row block.
+#
+# The slot scheme routes the coarse stages through a COMPRESSED space
+# instead: G consecutive blocks (scan order, so Y/Cb/Cr interleave and
+# density mixes) share C slots, target
+#
+#     t' = group(blk) * C + rank_in_group,
+#
+# giving a spread space of Ms = ceil(max_blk/G)*C rows — a 64*G/C = 2x
+# reduction at the default G=8, C=256.  rank_in_group is recovered from
+# the compacted stream inside a windowed Pallas kernel: group boundaries
+# are rows where blk>>log2(G) changes, and a boundary is never more than
+# C-1 valid rows back (else the group overflowed), so a log2(C)-stage
+# running-max over row positions resolves it VMEM-locally.  The fine
+# spread kernel finishes slot placement and then expands each group's C
+# slots into its 64*G dense rows entirely in VMEM (a short monotone
+# down-spread: within a group, target 64*b_loc + z >= rank holds because
+# every block has <= 64 events; entries never leave their group's span,
+# so groups cannot collide).
+#
+# Capacity: measured corpora (tools note in PERFORMANCE.md r5) show max
+# events per 8-block group of 112 (synthetic q90) / 225 (worst real
+# photo fixture at q90 4:4:4) — C=256 has zero overflow on everything
+# measured.  Overflow is still handled exactly: the unpack kernel
+# latches a per-lane flag (boundary out of window, or rank_in_group >=
+# C) and the batch engine re-decodes the chunk through the classic v3
+# path, mirroring the STEPS_SAFE retry ladder.
+
+_SLOT_C = int(os.environ.get("TPUJPEG_SLOT_C", "256"))
+_SLOT_G = int(os.environ.get("TPUJPEG_SLOT_G", "8"))
+
+
+def _use_pallas_slots(N: int, M: int, L: int) -> bool:
+    """Gate for the slot spread (compact side shares _use_pallas_v3's)."""
+    if os.environ.get("TPUJPEG_SLOTS", "1") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    C, G = _SLOT_C, _SLOT_G
+    if C & (C - 1) or G & (G - 1) or _W % C or C > _W or C > 64 * G:
+        return False
+    max_blk = M // 64
+    Ms = -(-max_blk // G) * C
+    Np = -(-N // _W) * _W
+    Msp = -(-Ms // _W) * _W
+    # int16 offsets bound the rank and slot spaces; the dense space is
+    # only ever addressed window-locally, so M itself may exceed 32768
+    # (the spec path's win over v3's gate).
+    return (
+        Np <= 32768 and Msp <= 32768
+        and L % LANE_TILE == 0
+        and Np >= 2 * _W and Msp >= 2 * _W
+    )
+
+
+def _slot_unpack_kernel(p_prev_ref, p_cur_ref, o2_out, ovf_out,
+                        *, C: int, G: int):
+    """Compacted events -> slot offsets + overflow latch, one window.
+
+    Stack = [predecessor window | current window] of the rank-compacted
+    packed events (p == 0 iff empty: a real event's value field val+2048
+    is never 0 and any nonzero blk/z packs nonzero high bits).  For each
+    valid current row: group = blk >> log2(G); the group's first event
+    is the latest row where the group id changes, at most C-1 rows back
+    (else overflow — latched, entry dropped); slot offset
+    o2 = group*C + rank_in_group - global_row.
+    """
+    from jax.experimental import pallas as pl
+
+    p = jnp.concatenate([p_prev_ref[:], p_cur_ref[:]])   # [2W, t] int32
+    H = p.shape[0]
+    W = H // 2
+    q = pl.program_id(0)
+    gshift = G.bit_length() - 1
+    valid = p != 0
+    grp = ((p >> 18) & 0x1FFF) >> gshift
     pos = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
-    o2 = jnp.where(cvalid, blk * 64 + z - pos, -1).astype(jnp.int16)
-    v = jnp.where(cvalid, val, 0).astype(jnp.int16)
+    boundary = valid & (grp != _rolled_down(grp, 1, jnp.int32(-1)))
+    # global row 0 starts group 0; for q == 0 the predecessor block is a
+    # clamped duplicate of window 0, so force the boundary explicitly.
+    # (Duplicate-halo "boundaries" below stack row W cannot corrupt any
+    # current row: a current row at global r <= C-1 always has its real
+    # group start at stack pos >= W inside the lookback window, and the
+    # running max prefers the larger position.)
+    boundary = boundary | (valid & (pos == W) & (q == 0))
+    m = jnp.where(boundary, pos, -1)
+    d = 1
+    while d < C:
+        m = jnp.maximum(m, _rolled_down(m, d, jnp.int32(-1)))
+        d *= 2
+    rib = pos - m
+    ovf = valid & ((m < 0) | (rib >= C))
+    gpos = pos - W + q * W                               # global row index
+    t_slot = grp * C + rib
+    o2 = jnp.where(valid & ~ovf, t_slot - gpos, -1)
+    o2_out[:] = o2[W:].astype(jnp.int16)
+    any_ovf = jnp.max(ovf[W:].astype(jnp.int32), axis=0, keepdims=True)
+    ovf_out[:] = jnp.broadcast_to(any_ovf, ovf_out.shape)
+
+
+def _fine_spread_expand_kernel(*refs, kc: int, C: int, G: int):
+    """Slot-space fine spread + in-VMEM group->dense expansion.
+
+    Stack = kc predecessor slot windows + the current one (o2 int16,
+    payload int32 packed events).  Coarse XLA stages brought every slot
+    offset below kc*W, so the current window's slots come from the
+    stack; after the fine stages each slot row g*C + r_g holds its
+    packed event.  Expansion re-targets each placed event inside its
+    group's 64*G dense rows (offset (blk mod G)*64 + z - r_g, in
+    [0, 64G)) and runs the short monotone down-spread; entries never
+    overshoot their in-span target, so groups stay disjoint and the
+    within-group non-decreasing-offset argument of fsm._spread applies
+    unchanged.  Output: [ (W/C)*64G, tile ] dense int16 rows.
+    """
+    from jax.experimental import pallas as pl
+
+    o_refs, v_refs = refs[: kc + 1], refs[kc + 1 : 2 * (kc + 1)]
+    out_ref = refs[2 * (kc + 1)]
+    o = jnp.concatenate([r[:] for r in o_refs]).astype(jnp.int32)
+    p = jnp.concatenate([r[:] for r in v_refs])
+    H = o.shape[0]
+    W = H // (kc + 1)
+    D = kc * W
+    shift = W.bit_length() - 1
+    q = pl.program_id(0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+    ghost = (q - kc + (pos >> shift)) >> 31
+    land = pos + o
+    keep = (o >= 0) & (land >= D) & (land < D + W) & (ghost == 0)
+    o = jnp.where(keep, o, -1)
+    p = jnp.where(keep, p, 0)
+    d = D // 2
+    while d >= 1:
+        sp = _rolled_down(p, d, 0)
+        so = _rolled_down(o, d, -1)
+        move = so >= d
+        stay = (o >= 0) & (o < d)
+        p = jnp.where(move, sp, jnp.where(stay, p, 0))
+        o = jnp.where(move, so - d, jnp.where(stay, o, -1))
+        d //= 2
+    slots = jnp.where(o == 0, p, 0)[D:]                  # [W, t] placed
+    valid = slots != 0
+    b_loc = (slots >> 18) & (G - 1)
+    z = (slots >> 12) & 63
+    val = jnp.where(valid, (slots & 0xFFF) - 2048, 0)
+    r_g = jax.lax.broadcasted_iota(jnp.int32, slots.shape, 0) & (C - 1)
+    o3 = jnp.where(valid, (b_loc << 6) + z - r_g, -1)
+    span = 64 * G
+    n_grp = W // C
+    pad_o = jnp.full((span - C,) + slots.shape[1:], -1, jnp.int32)
+    pad_v = jnp.zeros((span - C,) + slots.shape[1:], jnp.int32)
+    fo, fv = [], []
+    for g in range(n_grp):
+        fo += [o3[g * C : (g + 1) * C], pad_o]
+        fv += [val[g * C : (g + 1) * C], pad_v]
+    o = jnp.concatenate(fo)                              # [(W/C)*64G, t]
+    p = jnp.concatenate(fv)
+    d = span // 2
+    while d >= 1:
+        sp = _rolled_down(p, d, 0)
+        so = _rolled_down(o, d, -1)
+        move = so >= d
+        stay = (o >= 0) & (o < d)
+        p = jnp.where(move, sp, jnp.where(stay, p, 0))
+        o = jnp.where(move, so - d, jnp.where(stay, o, -1))
+        d //= 2
+    out_ref[:] = jnp.where(o == 0, p, 0).astype(jnp.int16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("M", "interpret", "C", "G", "stop_after")
+)
+def place_events_slots(ev: jnp.ndarray, *, M: int, C: int | None = None,
+                       G: int | None = None, interpret: bool = False,
+                       stop_after: str | None = None):
+    """events int32 [N, L] (-1 = empty) -> (values int16 [M, L],
+    overflow bool [L]).
+
+    Slot-space spread (module comment above): compact-to-rank exactly as
+    place_events_v3, then the coarse stages run over Ms = groups*C rows
+    instead of M, and the fine kernel expands groups to dense in VMEM.
+    Overflow lanes (any group with > C events) yield garbage rows and a
+    latched flag — callers re-decode those chunks via the classic path.
+    Bit-exact vs the XLA butterflies otherwise (tests/test_materialize).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = _SLOT_C if C is None else C
+    G = _SLOT_G if G is None else G
+    N, L = ev.shape
+    W = _W
+    tile = min(LANE_TILE, L)
+    max_blk = M // 64
+    n_groups = -(-max_blk // G)
+    Ms = n_groups * C
+    Np = -(-N // W) * W
+    Msp = -(-Ms // W) * W
+    assert W % C == 0 and C & (C - 1) == 0 and G & (G - 1) == 0
+
+    p, o = _compact_to_rank(ev, interpret=interpret)     # [Np, L]
+    if stop_after == "compact":
+        return p, o
+
+    # rank space -> slot offsets (windowed kernel, predecessor halo)
+    n_win_r = Np // W
+    cur = pl.BlockSpec((W, tile), lambda q, i: (q, i),
+                       memory_space=pltpu.VMEM)
+    prev = pl.BlockSpec((W, tile), lambda q, i: (jnp.maximum(q - 1, 0), i),
+                        memory_space=pltpu.VMEM)
+    ovf_spec = pl.BlockSpec((8, tile), lambda q, i: (q, i),
+                            memory_space=pltpu.VMEM)
+    o2, ovf8 = pl.pallas_call(
+        functools.partial(_slot_unpack_kernel, C=C, G=G),
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, L), jnp.int16),
+            jax.ShapeDtypeStruct((n_win_r * 8, L), jnp.int32),
+        ),
+        grid=(n_win_r, L // tile),
+        in_specs=[prev, cur],
+        out_specs=(cur, ovf_spec),
+        interpret=interpret,
+    )(p, p)
+    overflow = jnp.any(ovf8 != 0, axis=0)
+    # overflow/invalid payloads need no masking: their o2 is -1, so the
+    # first spread stage (or the fine kernel's keep mask) zeroes them
+    pay = p
+    if stop_after == "unpack":
+        return o2, pay, overflow
 
     def fit(x, fill):
-        if Mp > Np:
-            pad = jnp.full((Mp - Np, L), fill, x.dtype)
-            return jnp.concatenate([x, pad])
-        # compacted rank r has target >= r, so rows >= Mp hold no entries
-        return x[:Mp]
+        if Msp > Np:
+            padr = jnp.full((Msp - Np, L), fill, x.dtype)
+            return jnp.concatenate([x, padr])
+        # without overflow, rank r <= slot target < Ms <= Msp, so rows
+        # >= Msp hold no valid entries (overflow rows are latched)
+        return x[:Msp]
 
-    o2, v = fit(o2, jnp.int16(-1)), fit(v, jnp.int16(0))
-    if stop_after == "unpack":
-        return o2, v
+    o2, pay = fit(o2, jnp.int16(-1)), fit(pay, 0)
 
-    # coarse spread stages (d >= kc*W), XLA
-    n_win_s = Mp // W
-    k_s = _span_for(n_win_s, kc, default=_KS)
+    # coarse slot-spread stages (d >= kc*W), XLA over [Msp, L]
+    n_win_s = Msp // W
+    k_s = _span_for(n_win_s, None, default=_KS)
     d = 1
-    while d * 2 < Mp:
+    while d * 2 < Msp:
         d *= 2
     while d >= k_s * W:
-        sp = _rolled_down(v, d, jnp.int16(0))
+        sp = _rolled_down(pay, d, 0)
         so = _rolled_down(o2, d, jnp.int16(-1))
         move = so >= d
         stay = (o2 >= 0) & (o2 < d)
-        v = jnp.where(move, sp, jnp.where(stay, v, jnp.int16(0)))
+        pay = jnp.where(move, sp, jnp.where(stay, pay, 0))
         o2 = jnp.where(move, so - jnp.int16(d),
                        jnp.where(stay, o2, jnp.int16(-1)))
         d //= 2
-
     if stop_after == "spread_coarse":
-        return o2, v
-    # fine spread stages (d < kc*W), Pallas
+        return o2, pay, overflow
+
+    # fine slot spread + group->dense expansion (Pallas)
+    span = 64 * G
+    Wd = (W // C) * span
     cur_s = pl.BlockSpec((W, tile), lambda q, i: (q, i),
                          memory_space=pltpu.VMEM)
     preds = [
         pl.BlockSpec((W, tile),
-                     (lambda j: lambda q, i: (
-                         jnp.maximum(q - j, 0), i))(j),
+                     (lambda j: lambda q, i: (jnp.maximum(q - j, 0), i))(j),
                      memory_space=pltpu.VMEM)
         for j in range(k_s, 0, -1)
     ]
     stack_s = preds + [cur_s]
-    out = pl.pallas_call(
-        functools.partial(_fine_spread_kernel, kc=k_s),
-        out_shape=jax.ShapeDtypeStruct((Mp, L), jnp.int16),
+    out_spec = pl.BlockSpec((Wd, tile), lambda q, i: (q, i),
+                            memory_space=pltpu.VMEM)
+    dense = pl.pallas_call(
+        functools.partial(_fine_spread_expand_kernel, kc=k_s, C=C, G=G),
+        out_shape=jax.ShapeDtypeStruct((n_win_s * Wd, L), jnp.int16),
         grid=(n_win_s, L // tile),
         in_specs=stack_s + stack_s,
-        out_specs=cur_s,
+        out_specs=out_spec,
         interpret=interpret,
-    )(*([o2] * (k_s + 1) + [v] * (k_s + 1)))
-    return out[:M]
+    )(*([o2] * (k_s + 1) + [pay] * (k_s + 1)))
+    return dense[:M], overflow
 
 
 @functools.partial(jax.jit, static_argnames=("M", "interpret"))

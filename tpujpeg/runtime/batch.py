@@ -125,18 +125,22 @@ class BatchStats:
     fsm_k_retries: int = 0            # chunks re-decoded at STEPS_SAFE
     fsm_malformed_fallbacks: int = 0  # chunks redone on host: bad stream
     spec_sync_misses: int = 0         # spec chunks that fell back to Jacobi
+    fsm_slot_retries: int = 0         # chunks re-decoded with slots=False
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
 
 
 @jax.jit
-def _pack_fence(rgb, err_mal, err_env):
+def _pack_fence(rgb, err_mal, err_env, err_slot=None):
+    if err_slot is None:
+        err_slot = jnp.zeros((), bool)
     return jnp.stack(
         [
             rgb[..., :1, :1, :1].sum().astype(jnp.int32),
             jnp.any(err_mal).astype(jnp.int32),
             jnp.any(err_env).astype(jnp.int32),
+            jnp.any(err_slot).astype(jnp.int32),
         ]
     )
 
@@ -170,8 +174,9 @@ class _Chunk:
     spec_sync_misses: int = 0          # sync-log resolve misses -> Jacobi
     err_mal: object = None             # device malformed mask (fsm backend)
     err_env: object = None             # device envelope mask (fsm backend)
+    slots_off: bool = False            # slot-spread overflow: retry classic
     out: object = None                 # device (rgb, risk, metrics)
-    fence: object = None               # device [3] int32: rgb probe, err bits
+    fence: object = None               # device [4] int32: rgb probe, err bits
     backend: str = ""
     failed: dict | None = None         # local index -> message (skip mode)
     bucketed: bool = False             # geom is a size-class bucket; crop
@@ -531,12 +536,13 @@ class BatchDecoder:
                             raise fsm.SpecSyncMiss(
                                 "mixed geometry in spec chunk"
                             )
-                        rgb, risk, coeffs16, dc, err = (
+                        rgb, risk, coeffs16, dc, err, err_slot = (
                             fused.decode_spec_sync_fused(
                                 sync_pending, geom,
                                 jnp.asarray(self._quant_block(chunk, B)),
                                 B, len(chunk.imgs), self.fancy,
                                 want_coeffs=self.strict,
+                                slots=False if chunk.slots_off else None,
                             )
                         )
                         chunk.out = (rgb, risk, None)
@@ -545,7 +551,7 @@ class BatchDecoder:
                         chunk.err_mal = err
                         chunk.err_env = jnp.zeros_like(err)
                         chunk.fence = _pack_fence(
-                            rgb, chunk.err_mal, chunk.err_env
+                            rgb, chunk.err_mal, chunk.err_env, err_slot
                         )
                         chunk.backend = "fsm-spec-sync"
                         return True
@@ -697,11 +703,12 @@ class BatchDecoder:
             )
         B = self._pad_batch()
         try:
-            rgb, risk, coeffs, dc, err_mal, err_env, _ = (
+            rgb, risk, coeffs, dc, err_mal, err_env, err_slot, _ = (
                 fused.decode_chunk_bucketed(
                     plan, jnp.asarray(self._quant_block(chunk, B)),
                     chunk.geom, B, self.fancy, chunk.steps,
                     uploaded=chunk.uploaded, want_coeffs=self.strict,
+                    slots=False if chunk.slots_off else None,
                 )
             )
         except Exception as e:  # noqa: BLE001 — a failed COMPILE (e.g.
@@ -720,7 +727,7 @@ class BatchDecoder:
         chunk.dc_dev = dc
         chunk.err_mal = err_mal
         chunk.err_env = err_env
-        chunk.fence = _pack_fence(rgb, err_mal, err_env)
+        chunk.fence = _pack_fence(rgb, err_mal, err_env, err_slot)
         chunk.backend = "fsm-bucketed"
         return True
 
@@ -775,7 +782,7 @@ class BatchDecoder:
                         jax.device_put(jnp.asarray(xs)),
                         jax.device_put(jnp.asarray(sn)),
                     )
-            rgb, risk, coeffs, dc, err_mal, err_env, _ = (
+            rgb, risk, coeffs, dc, err_mal, err_env, err_slot, _ = (
                 fused.decode_chunk_fused(
                     plan, jnp.asarray(self._quant_block(chunk, B)),
                     chunk.geom, B, self.fancy, chunk.steps,
@@ -783,6 +790,7 @@ class BatchDecoder:
                     # coeffs feed strict repair only; skip their HBM
                     # writes when the caller opted out of exactness
                     want_coeffs=self.strict,
+                    slots=False if chunk.slots_off else None,
                 )
             )
             chunk.out = (rgb, risk, None)
@@ -790,7 +798,7 @@ class BatchDecoder:
             chunk.dc_dev = dc
             chunk.err_mal = err_mal
             chunk.err_env = err_env
-            chunk.fence = _pack_fence(rgb, err_mal, err_env)
+            chunk.fence = _pack_fence(rgb, err_mal, err_env, err_slot)
             chunk.backend = "fsm"
             return True
         if chunk.uploaded_plan is None:
@@ -942,7 +950,7 @@ class BatchDecoder:
         fetch: bool,
         isolate: bool,
     ) -> list[np.ndarray] | None:
-        n_env = n_mal = n_k = 0
+        n_env = n_mal = n_k = n_slot = 0
         t0 = time.perf_counter()
         for chunk in chunks:
             if chunk.fence is not None:
@@ -950,6 +958,19 @@ class BatchDecoder:
 
                 flags = np.asarray(jax.device_get(chunk.fence))
                 mal, env = bool(flags[1]), bool(flags[2])
+                if len(flags) > 3 and flags[3] and not chunk.slots_off:
+                    # a slot-spread group overflowed its capacity (rare by
+                    # calibration): re-decode the chunk through the classic
+                    # materialize — same device ladder, one extra dispatch
+                    chunk.slots_off = True
+                    n_slot += 1
+                    if chunk.backend.startswith("fsm-spec"):
+                        retried = self._process_chunk_spec(chunk)
+                    else:
+                        retried = self._process_chunk_fsm(chunk)
+                    if retried:
+                        flags = np.asarray(jax.device_get(chunk.fence))
+                        mal, env = bool(flags[1]), bool(flags[2])
                 if env and not mal and _fsm.steps_below_safe(chunk.steps):
                     # denser than the fast symbol-step envelope: retry the
                     # whole chunk ON DEVICE at the safe step count before
@@ -1000,6 +1021,7 @@ class BatchDecoder:
             fsm_malformed_fallbacks=n_mal,
             fsm_k_retries=n_k,
             spec_sync_misses=n_sync_miss,
+            fsm_slot_retries=n_slot,
         )
         for chunk in chunks:
             if chunk.failed:

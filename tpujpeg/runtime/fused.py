@@ -75,13 +75,16 @@ def compiled_fused_decoder(
     steps=fsm.STEPS_PRODUCTION,
     want_coeffs: bool = True,
     stop_after: str | None = None,
+    slots: bool | None = None,
 ):
     """One jitted program: scan bytes [L, stride] -> rgb + risk + errors.
 
     Returns fn(xs, seg_n_blocks, quant) ->
       (rgb uint8 [B, 3, H, W], riskbits, coeffs int16 [B, nb, 64] with
        RAW DC diffs, dc int32 [B, nb] resolved, err_mal [L], err_env [L],
-       scan_state).
+       err_slot [L], scan_state).  slots: None routes materialization
+       through the compressed slot spread when the gate allows
+       (fsm.materialize_checked); False is the overflow-retry target.
 
     coeffs+dc exist for the strict-repair path (risk pixels re-derive
     from exact coefficients); want_coeffs=False replaces them with None
@@ -105,9 +108,14 @@ def compiled_fused_decoder(
         if stop_after == "scan":
             return ev.sum(), err_mal, err_env, scan_state
         M = max_blk * 64
-        coeffs_t, err_mal = fsm.materialize_checked(ev, M, err_mal)
+        coeffs_t, err_mal, err_slot = fsm.materialize_checked(
+            ev, M, err_mal, slots=slots
+        )
         if stop_after == "materialize":
-            return coeffs_t.astype(jnp.int32).sum(), err_mal, err_env, scan_state
+            return (
+                coeffs_t.astype(jnp.int32).sum(),
+                err_mal, err_env, err_slot, scan_state,
+            )
         per_lane = coeffs_t.T.reshape(L, max_blk, 64)
         dc_lane = fsm._dc_cumsum(
             per_lane[:, :, 0].astype(jnp.int32), tables, max_blk
@@ -117,14 +125,14 @@ def compiled_fused_decoder(
         if stop_after == "assemble":
             return (
                 coeffs.astype(jnp.int32).sum() + dc.sum(),
-                err_mal, err_env, scan_state,
+                err_mal, err_env, err_slot, scan_state,
             )
         rgb, risk = jax.vmap(
             lambda c, d, q: device_decode_fn(geom, c, q, fancy=fancy, dc=d)
         )(coeffs, dc, quant)
         if not want_coeffs:
             coeffs = dc = None
-        return rgb, risk, coeffs, dc, err_mal, err_env, scan_state
+        return rgb, risk, coeffs, dc, err_mal, err_env, err_slot, scan_state
 
     return jax.jit(run)
 
@@ -140,6 +148,7 @@ def compiled_superchunk_decoder(
     fancy: bool = False,
     steps=fsm.STEPS_PRODUCTION,
     want_coeffs: bool = True,
+    slots: bool | None = None,
 ):
     """N chunks, ONE scan: the wide-scan fused program (round 4).
 
@@ -166,7 +175,7 @@ def compiled_superchunk_decoder(
         )
         stride, S, L = events.shape
         ev = events.reshape(stride * S, L)
-        rgbs, risks, coeffss, dcs, mals = [], [], [], [], []
+        rgbs, risks, coeffss, dcs, mals, slot_fs = [], [], [], [], [], []
         base = 0
         for si in range(n_sub):
             Ls = sub_lanes[si]
@@ -175,8 +184,11 @@ def compiled_superchunk_decoder(
             base += Ls
             max_blk = max_blks[si]
             M = max_blk * 64
-            coeffs_t, mal_s = fsm.materialize_checked(ev_s, M, mal_s)
+            coeffs_t, mal_s, slot_s = fsm.materialize_checked(
+                ev_s, M, mal_s, slots=slots
+            )
             mals.append(mal_s)
+            slot_fs.append(slot_s)
             per_lane = coeffs_t.T.reshape(Ls, max_blk, 64)
             dc_lane = fsm._dc_cumsum(
                 per_lane[:, :, 0].astype(jnp.int32), tables, max_blk
@@ -196,7 +208,8 @@ def compiled_superchunk_decoder(
         coeffs = jnp.concatenate(coeffss) if want_coeffs else None
         dc = jnp.concatenate(dcs) if want_coeffs else None
         err_mal = jnp.concatenate(mals)  # sub_lanes cover every lane
-        return rgb, risk, coeffs, dc, err_mal, err_env, scan_state
+        err_slot = jnp.concatenate(slot_fs)
+        return rgb, risk, coeffs, dc, err_mal, err_env, err_slot, scan_state
 
     return jax.jit(run)
 
@@ -226,7 +239,8 @@ def pack_superchunk(plans: list, uploaded=None):
 
 def decode_superchunk(plans: list, quants, geom: Geometry, pad_to: int,
                       fancy: bool = False, steps=fsm.STEPS_PRODUCTION,
-                      uploaded=None, want_coeffs: bool = True):
+                      uploaded=None, want_coeffs: bool = True,
+                      slots: bool | None = None):
     """Run N single-group plans through the wide-scan program.
 
     quants: [n_sub, B, C, 64] device or host array.  `uploaded` is the
@@ -251,6 +265,7 @@ def decode_superchunk(plans: list, quants, geom: Geometry, pad_to: int,
         fancy,
         steps,
         want_coeffs,
+        slots,
     )
     return fn(uploaded[0], uploaded[1], quants)
 
@@ -265,6 +280,7 @@ def compiled_spec_tail(
     cap_w: int,
     fancy: bool = False,
     want_coeffs: bool = True,
+    slots: bool | None = None,
 ):
     """Sync-spec tail, ONE program: adopt/merge events -> materialize ->
     int16 ragged gather (_spec_gather16_jit) -> pixel program with the
@@ -274,33 +290,35 @@ def compiled_spec_tail(
     decode_chunk_fused does for the restart path."""
 
     def run(ev1, anchors, ablk, recm, ev2, end2, b1, blk2, quotas, quant):
-        coeffs16, dc, err = fsm._spec_sync_assemble_jit(
+        coeffs16, dc, err, err_slot = fsm._spec_sync_assemble_jit(
             ev1, anchors, ablk, recm, ev2, end2, b1, blk2, quotas,
             tables=tables, pad_to=pad_to, nb=nb, n_imgs=n_imgs, cap_w=cap_w,
+            slots=slots,
         )
         rgb, risk = jax.vmap(
             lambda c, d, q: device_decode_fn(geom, c, q, fancy=fancy, dc=d)
         )(coeffs16, dc, quant)
         if not want_coeffs:
             coeffs16 = dc = None
-        return rgb, risk, coeffs16, dc, err
+        return rgb, risk, coeffs16, dc, err, err_slot
 
     return jax.jit(run)
 
 
 def decode_spec_sync_fused(pending, geom: Geometry, quant, pad_to: int,
                            n_imgs: int, fancy: bool = False,
-                           want_coeffs: bool = True):
+                           want_coeffs: bool = True,
+                           slots: bool | None = None):
     """Finish a spec_sync_start chunk through the fused tail.
 
     Raises SpecEnvelopeError / SpecSyncMiss via the shared host resolver
     (the one fetch, hidden when callers pipeline starts).  Returns
-    (rgb, risk, coeffs16 raw-DC, dc, err_mask)."""
+    (rgb, risk, coeffs16 raw-DC, dc, err_mask, err_slot)."""
     plan = pending.plan
     quotas, cap_w = fsm.spec_sync_resolve_host(pending)
     fn = compiled_spec_tail(
         geom, plan.tables, int(plan.img_blocks[0]), pad_to, n_imgs,
-        cap_w, fancy, want_coeffs,
+        cap_w, fancy, want_coeffs, slots,
     )
     return fn(
         pending.ev1, pending.anchors, pending.ablk, pending.recm,
@@ -320,6 +338,7 @@ def compiled_fused_bucketed(
     fancy: bool = False,
     steps=fsm.STEPS_PRODUCTION,
     want_coeffs: bool = True,
+    slots: bool | None = None,
 ):
     """One jitted program for a size-class bucket chunk of MIXED exact
     geometries: scan bytes -> bucket-raster rgb + risk + errors.
@@ -335,7 +354,7 @@ def compiled_fused_bucketed(
     Returns fn(xs, seg_n, wrap_at, skip, quant, ext) ->
       (rgb uint8 [B, 3, Hb, Wb], riskbits, coeffs int16 [B, nb_b, 64]
        RAW DC diffs, dc int32 [B, nb_b] resolved+masked, err_mal [L],
-       err_env [L], scan_state).
+       err_env [L], err_slot [L], scan_state).
     """
     bpm = bucket.blocks_per_mcu
     wb_bpm = bucket.mcus_x * bpm
@@ -350,7 +369,9 @@ def compiled_fused_bucketed(
         stride, S, L = events.shape
         ev = events.reshape(stride * S, L)
         M = max_blk * 64
-        coeffs_t, err_mal = fsm.materialize_checked(ev, M, err_mal)
+        coeffs_t, err_mal, err_slot = fsm.materialize_checked(
+            ev, M, err_mal, slots=slots
+        )
         per_lane = coeffs_t.T.reshape(L, max_blk, 64)
         dc_lane = fsm._dc_cumsum(
             per_lane[:, :, 0].astype(jnp.int32), tables, max_blk
@@ -391,7 +412,7 @@ def compiled_fused_bucketed(
         )(coeffs, dc, quant, ext)
         if not want_coeffs:
             coeffs = dc = None
-        return rgb, risk, coeffs, dc, err_mal, err_env, scan_state
+        return rgb, risk, coeffs, dc, err_mal, err_env, err_slot, scan_state
 
     return jax.jit(run)
 
@@ -399,7 +420,8 @@ def compiled_fused_bucketed(
 def decode_chunk_bucketed(plan: fsm.FsmBucketPlan, quant, bucket: Geometry,
                           pad_to: int, fancy: bool = False,
                           steps=fsm.STEPS_PRODUCTION, uploaded=None,
-                          want_coeffs: bool = True):
+                          want_coeffs: bool = True,
+                          slots: bool | None = None):
     """Run a bucket plan through the fused bucketed program.  `uploaded`
     is (xs_dev, seg_n_dev, wrap_dev, skip_dev) to skip the host upload."""
     if uploaded is None:
@@ -411,14 +433,15 @@ def decode_chunk_bucketed(plan: fsm.FsmBucketPlan, quant, bucket: Geometry,
     ext[: plan.n_imgs] = plan.extents
     fn = compiled_fused_bucketed(
         bucket, plan.tables, plan.max_blk, plan.lanes_per_img, plan.k,
-        pad_to, fancy, steps, want_coeffs,
+        pad_to, fancy, steps, want_coeffs, slots,
     )
     return fn(*uploaded, quant, jnp.asarray(ext))
 
 
 def decode_chunk_fused(plan: fsm.FsmPlan, quant, geom: Geometry, pad_to: int,
                        fancy: bool = False, steps=fsm.STEPS_PRODUCTION,
-                       uploaded=None, want_coeffs: bool = True):
+                       uploaded=None, want_coeffs: bool = True,
+                       slots: bool | None = None):
     """Convenience wrapper: run a single-group plan through the fused
     program.  `uploaded` is (xs_dev, seg_n_dev) to skip the host upload
     (the kernel-only benchmark methodology)."""
@@ -429,6 +452,6 @@ def decode_chunk_fused(plan: fsm.FsmPlan, quant, geom: Geometry, pad_to: int,
                     jax.device_put(jnp.asarray(sn)))
     fn = compiled_fused_decoder(
         geom, plan.tables, plan.max_blk, plan.layout, pad_to, fancy, steps,
-        want_coeffs,
+        want_coeffs, slots=slots,
     )
     return fn(uploaded[0], uploaded[1], quant)
