@@ -43,18 +43,22 @@ def main(argv=None) -> int:
                     help="sweep chunk sizes (device batch granularity)")
     ap.add_argument("--workers", type=int, nargs="+", default=None,
                     help="sweep host thread-pool sizes (reference: Threads sweep)")
+    ap.add_argument("--corpus", default="synthetic",
+                    choices=["photo", "synthetic"],
+                    help="photo = real-fixture mosaics (bench.py corpus)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--jsonl", default=None)
     args = ap.parse_args(argv)
 
     import numpy as np
 
-    from bench import _encode, _make_image
+    from bench import _encode, _make_image, _make_photo_image
     from tpujpeg.runtime.batch import BatchDecoder
 
+    gen = _make_photo_image if args.corpus == "photo" else _make_image
     max_b = max(args.batches)
     datas = [
-        _encode(_make_image(args.size, i), args.quality, args.rst_rows)
+        _encode(gen(args.size, i), args.quality, args.rst_rows)
         for i in range(max_b)
     ]
     jsonl = open(args.jsonl, "a") if args.jsonl else None

@@ -209,3 +209,47 @@ def test_bucketed_fsm_mixed_k_splits_chunks():
     for data, got in zip([d1, d2], out):
         ref = oracle.decode(parse(data))
         np.testing.assert_array_equal(got, ref.astype(np.uint8))
+
+
+def test_compile_ladder_bound():
+    """VERDICT r4 #5: the mixed-size jit-key space is enumerable for a
+    declared corpus envelope, real plans stay inside it, and partial
+    chunks reuse the full chunk's key (pad_imgs lane padding)."""
+    from tpujpeg.ops import fsm
+    from tpujpeg.runtime import ladder
+
+    # envelope: images <= 2000 px/side, restart segments <= 4 KiB, k=1
+    keys = ladder.bucketed_jit_keys(2000, 4096, k_values=(1,))
+    grid = ladder.mcu_bucket_ladder(250)
+    strides = ladder.stride_ladder(4096)
+    assert grid == (4, 6, 8, 11, 15, 20, 26, 34, 45, 59, 77, 101, 132,
+                    172, 224, 292)
+    # every bucket axis value <= 292, strides pow2 to 1 KiB then 512 steps
+    assert strides == (64, 128, 256, 512, 1024, 1536, 2048, 2560, 3072,
+                       3584, 4096)
+    n_bx = sum(1 for bx in grid if bx * 3 <= 512)   # materialize cap
+    assert len(keys) == n_bx * len(grid) * len(strides)
+    assert len(keys) <= 2500  # the declared envelope's hard bound
+
+    # real mixed corpora mint keys INSIDE the enumeration, and a partial
+    # chunk's plan matches the full chunk's shapes exactly
+    shapes = [(64, 80), (120, 104), (56, 200), (88, 88)]
+    imgs = [
+        parse(_rst_row_aligned(s, seed=i)) for i, s in enumerate(shapes)
+    ]
+    seen = set()
+    for img in imgs:
+        bucket = bucket_geometry(Geometry.of(img))
+        plan = fsm.build_plan_bucketed([img], bucket, pad_imgs=6)
+        k = ladder.observed_key(plan, bucket)
+        assert k in set(keys), k
+        seen.add(k + (plan.xs.shape[0],))
+    # same image padded as a 6-image chunk vs alone-in-a-6-chunk: one key
+    img = imgs[0]
+    bucket = bucket_geometry(Geometry.of(img))
+    p_full = fsm.build_plan_bucketed([img] * 6, bucket, pad_imgs=6)
+    p_part = fsm.build_plan_bucketed([img], bucket, pad_imgs=6)
+    assert p_full.xs.shape == p_part.xs.shape
+    assert ladder.observed_key(p_full, bucket) == ladder.observed_key(
+        p_part, bucket
+    )

@@ -33,7 +33,8 @@ def test_bench_emits_one_json_line():
     assert len(lines) == 1
     rec = json.loads(lines[0])
     # format contract only — the tiny CPU smoke config rounds rates to 0
-    for key in ("metric", "value", "unit", "vs_baseline", "mpixels_per_s"):
+    for key in ("metric", "value", "unit", "vs_baseline", "bits_per_px",
+                "device_mpixels_per_s", "e2e_mpixels_per_s", "corpus"):
         assert key in rec
     assert rec["value"] >= 0
     assert rec["stage_breakdown_s"]["entropy"] >= 0

@@ -37,21 +37,29 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--quality", type=int, default=90)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--corpus", default="synthetic",
+                    choices=["photo", "synthetic"])
+    ap.add_argument("--slots", default="auto", choices=["auto", "off"],
+                    help="slot-spread materialization (round 5) vs classic")
+    ap.add_argument("--cuts", nargs="+",
+                    default=["scan", "materialize", "assemble", "full"],
+                    help="subset to profile (each cut is its own compile)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from bench import _encode, _make_image
+    from bench import _encode, _make_image, _make_photo_image
     from tpujpeg.io.parser import parse
     from tpujpeg.ops import fsm
     from tpujpeg.pipeline import Geometry
     from tpujpeg.runtime import fused
 
     print(f"platform={jax.devices()[0].platform} images={args.images}")
+    gen = _make_photo_image if args.corpus == "photo" else _make_image
     datas = [
-        _encode(_make_image(args.size, i), args.quality, 1)
+        _encode(gen(args.size, i), args.quality, 1)
         for i in range(args.images)
     ]
     imgs = [parse(d) for d in datas]
@@ -89,14 +97,16 @@ def main():
 
     records = []
     prev = 0.0
-    for cut in ("scan", "materialize", "assemble", None):
+    slots = False if args.slots == "off" else None
+    for cut in [None if c == "full" else c for c in args.cuts]:
         fn = fused.compiled_fused_decoder(
             geom, plan.tables, plan.max_blk, plan.layout, args.images,
-            False, fsm.STEPS_PRODUCTION, False, cut,
+            False, fsm.STEPS_PRODUCTION, False, cut, slots,
         )
         ms = marginal(lambda: fn(up[0], up[1], qd)) * 1e3
         rec = dict(cut=cut or "full", cumulative_ms=round(ms, 2),
-                   stage_ms=round(ms - prev, 2))
+                   stage_ms=round(ms - prev, 2), corpus=args.corpus,
+                   slots=args.slots)
         prev = ms
         records.append(rec)
         print(json.dumps(rec))

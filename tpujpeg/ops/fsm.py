@@ -580,13 +580,21 @@ def bucket_lane_k(img: JpegImage) -> int | None:
     return ri // img.mcus_x
 
 
-def build_plan_bucketed(imgs: list[JpegImage], bucket) -> FsmBucketPlan:
+def build_plan_bucketed(
+    imgs: list[JpegImage], bucket, pad_imgs: int | None = None
+) -> FsmBucketPlan:
     """Pack a mixed-size chunk into bucket-raster lanes (see FsmBucketPlan).
 
     `bucket` is the size-class Geometry (pipeline.bucket_geometry); every
     image must fit it, share tables/subsampling, and have the same
     row-aligned restart k.  Raises JpegError otherwise (callers fall back
     to the host-bucketed path).
+
+    pad_imgs: pad the lane count as if the chunk held this many images —
+    partial chunks then reuse the full chunk's compiled program instead
+    of minting a fresh (L,) jit key per remainder size (the compile
+    ladder bound, runtime/ladder.py; padding lanes are inert: zero quota,
+    done on the first scan column).
     """
     tables = build_tables(imgs[0])
     pattern0 = imgs[0].mcu_block_pattern()
@@ -631,7 +639,9 @@ def build_plan_bucketed(imgs: list[JpegImage], bucket) -> FsmBucketPlan:
 
     n_real = len(seg_bytes)
     stride = _stride_bucket(max(max(b.size for b in seg_bytes), 64))
-    L = _round_up(max(n_real, 8), 128)
+    L = _round_up(
+        max(n_real, (pad_imgs or 0) * lanes_per_img, 8), 128
+    )
     xs = np.zeros((L, stride), np.uint8)
     for row, b in enumerate(seg_bytes):
         xs[row, : b.size] = b

@@ -639,7 +639,9 @@ class BatchDecoder:
         try:
             if chunk.bucketed:
                 try:
-                    plan = fsm.build_plan_bucketed(chunk.imgs, chunk.geom)
+                    plan = fsm.build_plan_bucketed(
+                    chunk.imgs, chunk.geom, pad_imgs=self._pad_batch()
+                )
                 except JpegError as e:
                     # bucketed chunks outside the bucket-FSM envelope go
                     # to the HOST-bucketed path, never the (mixed-
@@ -687,7 +689,9 @@ class BatchDecoder:
                 chunk.plan, chunk.uploaded = res
         if chunk.plan is None:
             try:
-                chunk.plan = fsm.build_plan_bucketed(chunk.imgs, chunk.geom)
+                chunk.plan = fsm.build_plan_bucketed(
+                    chunk.imgs, chunk.geom, pad_imgs=self._pad_batch()
+                )
             except JpegError:
                 return False
         plan = chunk.plan
