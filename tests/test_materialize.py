@@ -240,3 +240,27 @@ def test_slots_compiled_on_chip():
     np.testing.assert_array_equal(ovf, ovf_want)
     ok = ~ovf_want
     np.testing.assert_array_equal(dense[:, ok], want[:, ok])
+
+
+def test_slots_c128_matches_truth():
+    # content-adaptive capacity: C=128 halves the slot space again on
+    # sparse corpora; its narrower spread window (Ws=512, dense frame
+    # capped at 2048 rows) must stay bit-exact
+    rng = np.random.default_rng(11)
+    n_rows, max_blk, L = 2600, 60, 128
+    M = max_blk * 64
+    ev, want, _ = _block_events(rng, n_rows, max_blk, L, 8)
+    # recompute overflow for C=128
+    G = materialize._SLOT_G
+    dense, ovf = materialize.place_events_slots(
+        jnp.asarray(ev), M=M, C=128, interpret=True
+    )
+    dense, ovf = np.asarray(dense).astype(np.int32), np.asarray(ovf)
+    cnt = (want != 0).reshape(-1, 64, L).sum(1)        # [max_blk, L]
+    pad = (-len(cnt)) % G
+    if pad:
+        cnt = np.concatenate([cnt, np.zeros((pad, L), cnt.dtype)])
+    ovf_want = (cnt.reshape(-1, G, L).sum(1) > 128).any(0)
+    np.testing.assert_array_equal(ovf, ovf_want)
+    ok = ~ovf_want
+    np.testing.assert_array_equal(dense[:, ok], want[:, ok])

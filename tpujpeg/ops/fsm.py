@@ -1237,11 +1237,14 @@ def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray,
     allows it (materialize.place_events_slots — coarse stages in
     compressed group-slot coordinates, the round-5 answer to the spread
     roofline); False = classic v3/XLA (the retry target when a slot
-    chunk overflows).  The slot path keeps the checksum ON by default
-    (TPUJPEG_SELFCHECK=0 disables): it is new this round, and 2 HBM
-    reads are cheap insurance against another fusion miscompile.
-    Overflow lanes are excluded from the checksum latch — they re-route
-    via err_slot (chunk retry with slots=False), not host fallback.
+    chunk overflows).  The slot path follows v3's checksum policy (off
+    unless TPUJPEG_SELFCHECK=1): its pallas_call pins the event matrix
+    exactly like v3's — the miscompile defense targets the PLAIN-XLA
+    butterflies — and the measured check cost (~1.4 ms/chunk, reads of
+    the event + dense matrices) ate a third of the slot win when it
+    defaulted on.  Overflow lanes are excluded from the checksum latch
+    when it runs — they re-route via err_slot (chunk retry with
+    slots=False), not host fallback.
 
     Returns (coeffs_t [M, L] int16/int32, err_mal, err_slot bool [L])."""
     from . import materialize
@@ -1250,7 +1253,7 @@ def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray,
     use_slots = slots is not False and materialize._use_pallas_slots(N, M, L)
     if use_slots:
         coeffs_t, err_slot = materialize.place_events_slots(ev, M=M)
-        check = os.environ.get("TPUJPEG_SELFCHECK", "auto") != "0"
+        check = os.environ.get("TPUJPEG_SELFCHECK", "auto") == "1"
     else:
         coeffs_t = _materialize_events(ev, M)
         err_slot = jnp.zeros((L,), bool)

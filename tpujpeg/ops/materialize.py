@@ -500,6 +500,16 @@ def place_events_v3(ev: jnp.ndarray, *, M: int, interpret: bool = False,
     return out[:M]
 
 
+# Compact-side window (rank kernel + coarse-stage boundary).  W=2048
+# would remove one coarse compact pass (~470 MB ≈ 2 ms/chunk) but the
+# rank kernel's scoped VMEM measures 16.41 MB vs the 16 MB limit on the
+# v5e — the r4 "W=2048 OOMs by 420 KB" finding was THIS kernel, and
+# kc=2 at W=1024 (same coarse saving, smaller stack) measured a LOSS in
+# the r3 A/B (the kernel is compute-bound in its doubling stages, not
+# bandwidth-bound).  Kept as a knob for chips with more VMEM.
+_WC = int(os.environ.get("TPUJPEG_PALLAS_WC", "1024"))
+
+
 def _compact_to_rank(ev: jnp.ndarray, *, interpret: bool = False,
                      kc: int | None = None, stop_after: str | None = None):
     """Shared compact-to-rank phase: events [N, L] -> (p int32, o int16)
@@ -508,12 +518,14 @@ def _compact_to_rank(ev: jnp.ndarray, *, interpret: bool = False,
     network; on return compaction is complete and `o >= 0` marks valid
     rows).  Fine stages run in the Pallas rank kernel, coarse stages in
     XLA — exactly the first half of place_events_v3, shared with the
-    slot path (place_events_slots)."""
+    slot path (place_events_slots).  Windows are _WC (compact-side knob;
+    output height Np is a multiple of it, hence of the spread-side _W
+    whenever _WC >= _W)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N, L = ev.shape
-    W = _W
+    W = max(_WC, _W) if N >= max(_WC, _W) * 2 else _W
     tile = min(LANE_TILE, L)
     Np = -(-N // W) * W
     n_win_c = Np // W
@@ -814,9 +826,10 @@ def place_events_slots(ev: jnp.ndarray, *, M: int, C: int | None = None,
     Msp = -(-Ms // W) * W
     assert W % C == 0 and C & (C - 1) == 0 and G & (G - 1) == 0
 
-    p, o = _compact_to_rank(ev, interpret=interpret)     # [Np, L]
+    p, o = _compact_to_rank(ev, interpret=interpret)
     if stop_after == "compact":
         return p, o
+    Np = p.shape[0]  # compact may pad to its own (wider) window multiple
 
     # rank space -> slot offsets (windowed kernel, predecessor halo)
     n_win_r = Np // W
@@ -854,13 +867,18 @@ def place_events_slots(ev: jnp.ndarray, *, M: int, C: int | None = None,
 
     o2, pay = fit(o2, jnp.int16(-1)), fit(pay, 0)
 
-    # coarse slot-spread stages (d >= kc*W), XLA over [Msp, L]
-    n_win_s = Msp // W
+    # coarse slot-spread stages (d >= kc*Ws), XLA over [Msp, L].  The
+    # spread-side window shrinks with the compression ratio so the fine
+    # kernel's in-VMEM dense frame stays <= 2048 rows (C=128's x4
+    # expansion at Ws=1024 measured a 496 KB scoped-VMEM overflow).
+    span = 64 * G
+    Ws = min(W, max(C, (2048 * C) // span))
+    n_win_s = Msp // Ws
     k_s = _span_for(n_win_s, None, default=_KS)
     d = 1
     while d * 2 < Msp:
         d *= 2
-    while d >= k_s * W:
+    while d >= k_s * Ws:
         sp = _rolled_down(pay, d, 0)
         so = _rolled_down(o2, d, jnp.int16(-1))
         move = so >= d
@@ -873,12 +891,11 @@ def place_events_slots(ev: jnp.ndarray, *, M: int, C: int | None = None,
         return o2, pay, overflow
 
     # fine slot spread + group->dense expansion (Pallas)
-    span = 64 * G
-    Wd = (W // C) * span
-    cur_s = pl.BlockSpec((W, tile), lambda q, i: (q, i),
+    Wd = (Ws // C) * span
+    cur_s = pl.BlockSpec((Ws, tile), lambda q, i: (q, i),
                          memory_space=pltpu.VMEM)
     preds = [
-        pl.BlockSpec((W, tile),
+        pl.BlockSpec((Ws, tile),
                      (lambda j: lambda q, i: (jnp.maximum(q - j, 0), i))(j),
                      memory_space=pltpu.VMEM)
         for j in range(k_s, 0, -1)
