@@ -292,11 +292,13 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
     return chunks, pixel_fn, geom
 
 
-def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
+def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None):
     """Dispatch every staged chunk back-to-back, ONE fence for the batch.
 
     Returns the fence scalar (device).  Callers assert it stays below
-    1 << 23 — high bits carry the FSM error flags.
+    1 << 23 — high bits carry the FSM error flags.  slot_c: adaptive
+    slot-spread capacity from the corpus sample (materialize.
+    suggest_slot_c); None = the env default.
     """
     import jax.numpy as jnp
 
@@ -331,7 +333,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
                 rgb, _risk, _c, _dc, err, err_slot = (
                     fused.decode_spec_sync_fused(
                         pendings[i], geom, q_d, chunk, len(part),
-                        want_coeffs=False,
+                        want_coeffs=False, slots=slot_c,
                     )
                 )
                 fence(rgb, err, err | err_slot)
@@ -347,7 +349,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
             rgb, _risk, _c, _dc, err_mal, err_env, err_slot, _st = (
                 fused.decode_superchunk(
                     plan, q_d, geom, chunk, uploaded=uploaded,
-                    want_coeffs=False,
+                    want_coeffs=False, slots=slot_c,
                 )
             )
             fence(rgb, err_mal, err_env | err_slot)
@@ -357,7 +359,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int):
             rgb, _risk, _c, _dc, err_mal, err_env, err_slot, _st = (
                 fused.decode_chunk_fused(
                     plan, q_d, geom, chunk, uploaded=uploaded,
-                    want_coeffs=False,
+                    want_coeffs=False, slots=slot_c,
                 )
             )
             fence(rgb, err_mal, err_env | err_slot)
@@ -441,13 +443,25 @@ def main():
         """(device MB/s, device MPix/s, bits/px) for one corpus."""
         import numpy as np_
 
+        from tpujpeg.oracle import decoder as _oracle
+        from tpujpeg.ops import materialize as _mat
+
         imgs = [parse(d) for d in jpegs]
+        # content-adaptive slot capacity from a 2-image host sample (the
+        # err_slot retry ladder covers unsampled denser images; here a
+        # latched flag fails the fence assert instead)
+        nz = np_.concatenate([
+            (_oracle.entropy_decode(im) != 0).sum(1) for im in imgs[:2]
+        ])
+        slot_c = _mat.suggest_slot_c(nz)
         chunks, pixel_fn, geom = stage_device_chunks(
             imgs, args.chunk, superchunk=args.superchunk
         )
 
         def run_device():
-            return run_device_chunks(chunks, pixel_fn, geom, args.chunk)
+            return run_device_chunks(
+                chunks, pixel_fn, geom, args.chunk, slot_c=slot_c
+            )
 
         warm = int(np_.asarray(jax.device_get(run_device())))  # warm+compile
         assert warm < (1 << 23), "FSM error lanes on bench data"

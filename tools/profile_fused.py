@@ -39,8 +39,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--corpus", default="synthetic",
                     choices=["photo", "synthetic"])
-    ap.add_argument("--slots", default="auto", choices=["auto", "off"],
-                    help="slot-spread materialization (round 5) vs classic")
+    ap.add_argument("--slots", default="auto",
+                    choices=["auto", "off", "64", "128", "256"],
+                    help="slot-spread materialization (round 5): auto/"
+                         "off/explicit capacity C")
     ap.add_argument("--cuts", nargs="+",
                     default=["scan", "materialize", "assemble", "full"],
                     help="subset to profile (each cut is its own compile)")
@@ -97,7 +99,8 @@ def main():
 
     records = []
     prev = 0.0
-    slots = False if args.slots == "off" else None
+    slots = (False if args.slots == "off"
+             else None if args.slots == "auto" else int(args.slots))
     for cut in [None if c == "full" else c for c in args.cuts]:
         fn = fused.compiled_fused_decoder(
             geom, plan.tables, plan.max_blk, plan.layout, args.images,

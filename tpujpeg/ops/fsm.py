@@ -1220,7 +1220,7 @@ def _resolve_dc(per_lane: jnp.ndarray, tables: FsmTables, max_blk: int):
 
 
 def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray,
-                        slots: bool | None = False):
+                        slots: bool | int | None = False):
     """_materialize_events + the in-program checksum self-check.
 
     Verifies that every packed event's value landed at its target row:
@@ -1250,9 +1250,14 @@ def materialize_checked(ev: jnp.ndarray, M: int, err_mal: jnp.ndarray,
     from . import materialize
 
     N, L = ev.shape
-    use_slots = slots is not False and materialize._use_pallas_slots(N, M, L)
+    slot_c = slots if isinstance(slots, int) and slots is not True else None
+    use_slots = slots is not False and materialize._use_pallas_slots(
+        N, M, L, slot_c
+    )
     if use_slots:
-        coeffs_t, err_slot = materialize.place_events_slots(ev, M=M)
+        coeffs_t, err_slot = materialize.place_events_slots(
+            ev, M=M, C=slot_c
+        )
         check = os.environ.get("TPUJPEG_SELFCHECK", "auto") == "1"
     else:
         coeffs_t = _materialize_events(ev, M)
@@ -2115,7 +2120,7 @@ def _spec_sync_scan_jit(
 )
 def _spec_sync_assemble_jit(
     ev1, anchors, ablk, recm, ev2, end2, b1, blk2, quotas,
-    *, tables, pad_to, nb, n_imgs, cap_w, slots: bool | None = None
+    *, tables, pad_to, nb, n_imgs, cap_w, slots: bool | int | None = None
 ):
     """Merge stitch + adopted cold events, materialize, ragged-gather
     into the dense per-image tensor, resolve DC.

@@ -658,13 +658,36 @@ _SLOT_C = int(os.environ.get("TPUJPEG_SLOT_C", "256"))
 _SLOT_G = int(os.environ.get("TPUJPEG_SLOT_G", "8"))
 
 
-def _use_pallas_slots(N: int, M: int, L: int) -> bool:
+def suggest_slot_c(nonzero_per_block, G: int | None = None) -> int:
+    """Content-adaptive slot capacity from a host-side corpus sample.
+
+    nonzero_per_block: int array of per-block nonzero-coefficient counts
+    (oracle.entropy_decode output; counting DC unconditionally is a safe
+    overestimate of emitted events).  Returns the smallest power-of-two
+    C in [64, 256] covering the sampled max group load — the pow2
+    ceiling supplies the safety margin, and the err_slot retry ladder
+    covers the residual (an unsampled denser image re-decodes its chunk
+    at the classic path).
+    """
+    import numpy as np
+
+    G = _SLOT_G if G is None else G
+    nz = np.asarray(nonzero_per_block)
+    m = (len(nz) // G) * G
+    gmax = int(nz[:m].reshape(-1, G).sum(1).max()) if m else int(nz.sum())
+    c = 64
+    while c < gmax:
+        c *= 2
+    return min(max(c, 64), 256)
+
+
+def _use_pallas_slots(N: int, M: int, L: int, C: int | None = None) -> bool:
     """Gate for the slot spread (compact side shares _use_pallas_v3's)."""
     if os.environ.get("TPUJPEG_SLOTS", "1") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False
-    C, G = _SLOT_C, _SLOT_G
+    C, G = (_SLOT_C if C is None else C), _SLOT_G
     if C & (C - 1) or G & (G - 1) or _W % C or C > _W or C > 64 * G:
         return False
     max_blk = M // 64

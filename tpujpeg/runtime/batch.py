@@ -221,6 +221,7 @@ class BatchDecoder:
         self.chunk_size = chunk_size
         self.strict = strict
         self.fancy = fancy
+        self._slot_c = None  # adaptive slot capacity (_slot_capacity)
         # backend='cpu' never touches a device (the complete native C++
         # decoder) — don't even enumerate them; jax backend init can hang
         # when no accelerator is reachable
@@ -542,7 +543,7 @@ class BatchDecoder:
                                 jnp.asarray(self._quant_block(chunk, B)),
                                 B, len(chunk.imgs), self.fancy,
                                 want_coeffs=self.strict,
-                                slots=False if chunk.slots_off else None,
+                                slots=self._slot_capacity(chunk),
                             )
                         )
                         chunk.out = (rgb, risk, None)
@@ -609,6 +610,30 @@ class BatchDecoder:
         # round-trip); a latched lane falls back to the host in _finish
         chunk.fence = _pack_fence(chunk.out[0], err_mal, err_env)
         return True
+
+    def _slot_capacity(self, chunk: _Chunk):
+        """Content-adaptive slot-spread capacity (materialize.suggest_
+        slot_c) from a one-image host sample, cached per decoder.
+
+        Returns False (classic) for retry chunks, an int C for the fused
+        decoders, or None for the env default when no host decoder is
+        available to sample with.  A slot-overflow retry bumps the
+        cached capacity for all later chunks (_finish)."""
+        if chunk.slots_off:
+            return False
+        if self._slot_c is None:
+            self._slot_c = 0  # sampled-but-unknown -> env default
+            try:
+                from . import host
+
+                if host._load_native() is not None:
+                    from ..ops import materialize
+
+                    nz = (host.entropy_decode(chunk.imgs[0]) != 0).sum(1)
+                    self._slot_c = materialize.suggest_slot_c(nz)
+            except Exception:  # sampling must never break decode
+                pass
+        return self._slot_c or None
 
     def _prefers_fsm(self) -> bool:
         """Whether this decoder routes chunks to the device FSM first."""
@@ -712,7 +737,7 @@ class BatchDecoder:
                     plan, jnp.asarray(self._quant_block(chunk, B)),
                     chunk.geom, B, self.fancy, chunk.steps,
                     uploaded=chunk.uploaded, want_coeffs=self.strict,
-                    slots=False if chunk.slots_off else None,
+                    slots=self._slot_capacity(chunk),
                 )
             )
         except Exception as e:  # noqa: BLE001 — a failed COMPILE (e.g.
@@ -794,7 +819,7 @@ class BatchDecoder:
                     # coeffs feed strict repair only; skip their HBM
                     # writes when the caller opted out of exactness
                     want_coeffs=self.strict,
-                    slots=False if chunk.slots_off else None,
+                    slots=self._slot_capacity(chunk),
                 )
             )
             chunk.out = (rgb, risk, None)
@@ -968,6 +993,10 @@ class BatchDecoder:
                     # materialize — same device ladder, one extra dispatch
                     chunk.slots_off = True
                     n_slot += 1
+                    if self._slot_c and self._slot_c < 256:
+                        # the sample under-read the corpus: serve later
+                        # chunks at the next capacity up
+                        self._slot_c *= 2
                     if chunk.backend.startswith("fsm-spec"):
                         retried = self._process_chunk_spec(chunk)
                     else:

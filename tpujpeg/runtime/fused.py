@@ -75,7 +75,7 @@ def compiled_fused_decoder(
     steps=fsm.STEPS_PRODUCTION,
     want_coeffs: bool = True,
     stop_after: str | None = None,
-    slots: bool | None = None,
+    slots: bool | int | None = None,
 ):
     """One jitted program: scan bytes [L, stride] -> rgb + risk + errors.
 
@@ -148,7 +148,7 @@ def compiled_superchunk_decoder(
     fancy: bool = False,
     steps=fsm.STEPS_PRODUCTION,
     want_coeffs: bool = True,
-    slots: bool | None = None,
+    slots: bool | int | None = None,
 ):
     """N chunks, ONE scan: the wide-scan fused program (round 4).
 
@@ -240,7 +240,7 @@ def pack_superchunk(plans: list, uploaded=None):
 def decode_superchunk(plans: list, quants, geom: Geometry, pad_to: int,
                       fancy: bool = False, steps=fsm.STEPS_PRODUCTION,
                       uploaded=None, want_coeffs: bool = True,
-                      slots: bool | None = None):
+                      slots: bool | int | None = None):
     """Run N single-group plans through the wide-scan program.
 
     quants: [n_sub, B, C, 64] device or host array.  `uploaded` is the
@@ -280,7 +280,7 @@ def compiled_spec_tail(
     cap_w: int,
     fancy: bool = False,
     want_coeffs: bool = True,
-    slots: bool | None = None,
+    slots: bool | int | None = None,
 ):
     """Sync-spec tail, ONE program: adopt/merge events -> materialize ->
     int16 ragged gather (_spec_gather16_jit) -> pixel program with the
@@ -308,7 +308,7 @@ def compiled_spec_tail(
 def decode_spec_sync_fused(pending, geom: Geometry, quant, pad_to: int,
                            n_imgs: int, fancy: bool = False,
                            want_coeffs: bool = True,
-                           slots: bool | None = None):
+                           slots: bool | int | None = None):
     """Finish a spec_sync_start chunk through the fused tail.
 
     Raises SpecEnvelopeError / SpecSyncMiss via the shared host resolver
@@ -338,7 +338,7 @@ def compiled_fused_bucketed(
     fancy: bool = False,
     steps=fsm.STEPS_PRODUCTION,
     want_coeffs: bool = True,
-    slots: bool | None = None,
+    slots: bool | int | None = None,
 ):
     """One jitted program for a size-class bucket chunk of MIXED exact
     geometries: scan bytes -> bucket-raster rgb + risk + errors.
@@ -421,7 +421,7 @@ def decode_chunk_bucketed(plan: fsm.FsmBucketPlan, quant, bucket: Geometry,
                           pad_to: int, fancy: bool = False,
                           steps=fsm.STEPS_PRODUCTION, uploaded=None,
                           want_coeffs: bool = True,
-                          slots: bool | None = None):
+                          slots: bool | int | None = None):
     """Run a bucket plan through the fused bucketed program.  `uploaded`
     is (xs_dev, seg_n_dev, wrap_dev, skip_dev) to skip the host upload."""
     if uploaded is None:
@@ -441,7 +441,7 @@ def decode_chunk_bucketed(plan: fsm.FsmBucketPlan, quant, bucket: Geometry,
 def decode_chunk_fused(plan: fsm.FsmPlan, quant, geom: Geometry, pad_to: int,
                        fancy: bool = False, steps=fsm.STEPS_PRODUCTION,
                        uploaded=None, want_coeffs: bool = True,
-                       slots: bool | None = None):
+                       slots: bool | int | None = None):
     """Convenience wrapper: run a single-group plan through the fused
     program.  `uploaded` is (xs_dev, seg_n_dev) to skip the host upload
     (the kernel-only benchmark methodology)."""
