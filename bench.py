@@ -443,17 +443,21 @@ def main():
         """(device MB/s, device MPix/s, bits/px) for one corpus."""
         import numpy as np_
 
-        from tpujpeg.oracle import decoder as _oracle
         from tpujpeg.ops import materialize as _mat
+        from tpujpeg.runtime import host as _host
 
         imgs = [parse(d) for d in jpegs]
-        # content-adaptive slot capacity from a 2-image host sample (the
-        # err_slot retry ladder covers unsampled denser images; here a
-        # latched flag fails the fence assert instead)
-        nz = np_.concatenate([
-            (_oracle.entropy_decode(im) != 0).sum(1) for im in imgs[:2]
-        ])
-        slot_c = _mat.suggest_slot_c(nz)
+        # content-adaptive slot capacity from an EXACT whole-corpus host
+        # scan (native entropy decode ~1 ms/image; the first photo-corpus
+        # run proved a 2-image sample under-reads mosaic corpora and a
+        # latched err_slot fails the fence assert — the bench device loop
+        # has no retry ladder, so the pick must be exact here)
+        slot_c = None
+        if _host._load_native() is not None:
+            nz = np_.concatenate([
+                (_host.entropy_decode(im) != 0).sum(1) for im in imgs
+            ])
+            slot_c = _mat.suggest_slot_c(nz)
         chunks, pixel_fn, geom = stage_device_chunks(
             imgs, args.chunk, superchunk=args.superchunk
         )
