@@ -292,19 +292,28 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
     return chunks, pixel_fn, geom
 
 
-def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None):
+def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None,
+                      steps_map=None, collect=False):
     """Dispatch every staged chunk back-to-back, ONE fence for the batch.
 
     Returns the fence scalar (device).  Callers assert it stays below
     1 << 23 — high bits carry the FSM error flags.  slot_c: adaptive
     slot-spread capacity from the corpus sample (materialize.
     suggest_slot_c); None = the env default.
+
+    steps_map: per-chunk symbol-step budgets (probe_chunk_steps) — the
+    bench analog of the engine's STEPS_SAFE retry ladder, so a corpus
+    with a few denser-than-K=2 lanes is served (and timed) the way
+    production serves it instead of failing the run.  collect=True
+    returns the per-chunk fence list instead of the folded sum (the
+    probe uses it to locate offending chunks).
     """
     import jax.numpy as jnp
 
     from tpujpeg.ops import fsm
     from tpujpeg.runtime import fused
 
+    steps_map = steps_map or {}
     fences = []
 
     def fence(rgb, err_mal, err_env):
@@ -319,12 +328,16 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None):
     # overlaps the other chunks' device work instead of stalling the loop
     # (~30 ms/chunk of tunnel latency otherwise)
     pendings = {
-        i: fsm.spec_sync_start(part, plan=plan, xs_dev=uploaded[0])
+        i: fsm.spec_sync_start(
+            part, plan=plan, xs_dev=uploaded[0],
+            steps=steps_map.get(i, fsm.STEPS_PRODUCTION),
+        )
         for i, (kind, uploaded, _q, plan, part) in enumerate(chunks)
         if kind == "spec"
     }
 
     for i, (kind, uploaded, q_d, plan, part) in enumerate(chunks):
+        steps = steps_map.get(i, fsm.STEPS_PRODUCTION)
         if kind == "spec":
             # no-restart streams: stitch-sync speculative decode through
             # the fused tail (assemble+gather+pixels, one program);
@@ -340,7 +353,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None):
             except (fsm.SpecSyncMiss, fsm.SpecEnvelopeError):
                 coeffs, (err_mal, err_env) = fsm.decode_speculative_batch(
                     part, device_out=True, pad_to=chunk,
-                    plan=plan, xs_dev=uploaded[0],
+                    plan=plan, xs_dev=uploaded[0], steps=steps,
                 )
                 rgb, _risk, _tot = pixel_fn(coeffs, q_d)
                 fence(rgb, err_mal, err_env)
@@ -349,7 +362,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None):
             rgb, _risk, _c, _dc, err_mal, err_env, err_slot, _st = (
                 fused.decode_superchunk(
                     plan, q_d, geom, chunk, uploaded=uploaded,
-                    want_coeffs=False, slots=slot_c,
+                    want_coeffs=False, slots=slot_c, steps=steps,
                 )
             )
             fence(rgb, err_mal, err_env | err_slot)
@@ -359,11 +372,60 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None):
             rgb, _risk, _c, _dc, err_mal, err_env, err_slot, _st = (
                 fused.decode_chunk_fused(
                     plan, q_d, geom, chunk, uploaded=uploaded,
-                    want_coeffs=False, slots=slot_c,
+                    want_coeffs=False, slots=slot_c, steps=steps,
                 )
             )
             fence(rgb, err_mal, err_env | err_slot)
+    if collect:
+        return fences
     return jnp.stack(fences).sum()
+
+
+def probe_chunk_steps(chunks, pixel_fn, geom, chunk: int, slot_c=None):
+    """Warm-up pass: find chunks whose lanes exceed the production step
+    envelope and assign them STEPS_SAFE — the engine's per-chunk K-retry
+    ladder applied to the kernel-only methodology (measured photo-mosaic
+    corpora carry ~1 lane in 384 images denser than K=2; production
+    serves those at the safe budget, so the benchmark must too)."""
+    import jax
+    import numpy as np_
+
+    from tpujpeg.ops import fsm
+
+    steps_map = {}
+    for attempt in range(3):
+        try:
+            flags = [
+                int(x) >> 24
+                for x in np_.asarray(jax.device_get(jnp_stack(
+                    run_device_chunks(chunks, pixel_fn, geom, chunk,
+                                      slot_c=slot_c, steps_map=steps_map,
+                                      collect=True)
+                )))
+            ]
+        except fsm.SpecEnvelopeError:
+            # the spec resolve raises before any fence exists: retry
+            # every spec chunk at the safe budget
+            for i, entry in enumerate(chunks):
+                if entry[0] == "spec":
+                    steps_map[i] = fsm.STEPS_SAFE
+            continue
+        bad = [i for i, f in enumerate(flags) if f]
+        if not bad:
+            return steps_map
+        for i in bad:
+            if steps_map.get(i) == fsm.STEPS_SAFE:
+                raise AssertionError(
+                    f"chunk {i}: error lanes persist at STEPS_SAFE"
+                )
+            steps_map[i] = fsm.STEPS_SAFE
+    return steps_map
+
+
+def jnp_stack(xs):
+    import jax.numpy as jnp
+
+    return jnp.stack(xs)
 
 
 def main():
@@ -461,13 +523,19 @@ def main():
         chunks, pixel_fn, geom = stage_device_chunks(
             imgs, args.chunk, superchunk=args.superchunk
         )
+        # warm + compile + the engine's K-retry ladder: chunks with lanes
+        # denser than the production step budget time at STEPS_SAFE
+        steps_map = probe_chunk_steps(
+            chunks, pixel_fn, geom, args.chunk, slot_c=slot_c
+        )
 
         def run_device():
             return run_device_chunks(
-                chunks, pixel_fn, geom, args.chunk, slot_c=slot_c
+                chunks, pixel_fn, geom, args.chunk, slot_c=slot_c,
+                steps_map=steps_map,
             )
 
-        warm = int(np_.asarray(jax.device_get(run_device())))  # warm+compile
+        warm = int(np_.asarray(jax.device_get(run_device())))
         assert warm < (1 << 23), "FSM error lanes on bench data"
         dbest = None
         for _ in range(args.iters):

@@ -283,3 +283,46 @@ def test_spec_batch_device_out_wide():
     for bi, img in enumerate(imgs):
         np.testing.assert_array_equal(dev[bi], oracle.entropy_decode(img))
     assert not dev[8:].any()
+
+
+def test_spec_sync_slots_compiled_on_chip():
+    # the slot-spread materialize over the spec path's MERGED stream
+    # (adopted cold events rebased + stitch events, interspersed invalid
+    # rows) — interpret mode cannot see Mosaic limits and the CPU gate
+    # skips slots entirely, so this must prove out on the real chip
+    # before the bench trusts it (selfcheck is off by default)
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real chip (TPUJPEG_TEST_TPU=1)")
+    imgs = [
+        parse(make_jpeg(shape=(64, 80), quality=88, seed=s))
+        for s in (3, 4, 5, 6)
+    ]
+    pending = fsm.spec_sync_start(imgs, CHUNK)
+    quotas, cap_w = fsm.spec_sync_resolve_host(pending)
+    import jax.numpy as jnp
+
+    out = {}
+    for slots in (False, 256):
+        coeffs16, dc, err, err_slot = fsm._spec_sync_assemble_jit(
+            pending.ev1, pending.anchors, pending.ablk, pending.recm,
+            pending.ev2, pending.end2, pending.b1, pending.blk2,
+            jnp.asarray(quotas), tables=pending.plan.tables,
+            pad_to=len(imgs), nb=int(pending.plan.img_blocks[0]),
+            n_imgs=len(imgs), cap_w=cap_w, slots=slots,
+        )
+        assert not bool(jax.device_get(err.any()))
+        assert not bool(jax.device_get(err_slot.any()))
+        out[slots] = (
+            np.asarray(jax.device_get(coeffs16)).astype(np.int32),
+            np.asarray(jax.device_get(dc)),
+        )
+    np.testing.assert_array_equal(out[False][0], out[256][0])
+    np.testing.assert_array_equal(out[False][1], out[256][1])
+    # and against the oracle
+    for bi, img in enumerate(imgs):
+        ref = oracle.entropy_decode(img)
+        got = out[256][0][bi].copy()
+        got[:, 0] = out[256][1][bi]          # resolved DC side channel
+        np.testing.assert_array_equal(got[: ref.shape[0]], ref)

@@ -264,3 +264,22 @@ def test_slots_c128_matches_truth():
     np.testing.assert_array_equal(ovf, ovf_want)
     ok = ~ovf_want
     np.testing.assert_array_equal(dense[:, ok], want[:, ok])
+
+
+def test_slots_msp_taller_than_np():
+    # photo-like shape: short scans (small N) with a tall block space —
+    # slot space pads PAST the rank space (fit()'s concatenate branch),
+    # and spread targets exceed every rank row.  First seen live on the
+    # photo-corpus bench; must be covered at interpret level.
+    rng = np.random.default_rng(21)
+    n_rows, max_blk, L = 2100, 120, 128
+    M = max_blk * 64
+    ev, want, ovf_want = _block_events(rng, n_rows, max_blk, L, 3)
+    assert not ovf_want.any()
+    dense, ovf = materialize.place_events_slots(
+        jnp.asarray(ev), M=M, interpret=True
+    )
+    assert not np.asarray(ovf).any()
+    np.testing.assert_array_equal(
+        np.asarray(dense).astype(np.int32), want
+    )

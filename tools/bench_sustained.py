@@ -85,6 +85,11 @@ def main(argv=None) -> int:
     ap.add_argument("--mixed-sizes", action="store_true",
                     help="draw sizes from 200..2000 and decode with "
                          "size_buckets=True (the recompile-free path)")
+    ap.add_argument("--passes", type=int, default=1,
+                    help="decode the corpus this many times in ONE "
+                         "process; later passes run with every jit key "
+                         "warm, separating compile cost from serving "
+                         "cost on mixed-size corpora (VERDICT r4 #5)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -136,7 +141,8 @@ def main(argv=None) -> int:
 
     records = []
     win = -(-len(datas) // args.windows)
-    for w in range(args.windows):
+    for p, w in [(p, w) for p in range(args.passes)
+                 for w in range(args.windows)]:
         part = datas[w * win : (w + 1) * win]
         if not part:
             break
@@ -178,6 +184,7 @@ def main(argv=None) -> int:
         _trim()
         rec = {
             "window": w,
+            "pass": p,
             "images": len(part),
             "compressed_MB": round(sum(map(len, part)) / 1e6, 2),
             "device_MBps": dev_mbps,
@@ -189,7 +196,8 @@ def main(argv=None) -> int:
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    mbps = [r["device_MBps"] or r["MBps"] or 0.0 for r in records]
+    last = [r for r in records if r.get("pass", 0) == args.passes - 1]
+    mbps = [r["device_MBps"] or r["MBps"] or 0.0 for r in last]
     rss = [r["rss_MB"] for r in records]
     summary = {
         "metric": "sustained_batch",
@@ -198,7 +206,8 @@ def main(argv=None) -> int:
             f"{int(sizes.min())}-{int(sizes.max())} mixed"
             if args.mixed_sizes else f"{args.size}^2"
         ),
-        "windows": len(records),
+        "windows": len(last),
+        "passes": args.passes,
         "window_metric": (
             "device_MBps" if records[-1]["device_MBps"] else "MBps"
         ),
