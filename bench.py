@@ -28,6 +28,7 @@ import argparse
 import io
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -550,19 +551,35 @@ def main():
             nbytes * 8 / px_total,
         )
 
+    def measure_device_retry(jpegs):
+        # the axon remote compile helper occasionally drops a response
+        # mid-read; one retry rides the persistent compilation cache
+        try:
+            return measure_device(jpegs)
+        except Exception as e:  # noqa: BLE001 — transient infra
+            print(f"# device measurement retry after: {e!r}",
+                  file=sys.stderr)
+            time.sleep(30)
+            return measure_device(jpegs)
+
     device_mbps = device_mpixps = bits_px = None
     secondary = None
     if args.backend in ("fsm", "auto"):
-        device_mbps, device_mpixps, bits_px = measure_device(datas)
+        device_mbps, device_mpixps, bits_px = measure_device_retry(datas)
         if not args.one_corpus:
             other = "synthetic" if args.corpus == "photo" else "photo"
-            o_mbps, o_mpixps, o_bits = measure_device(make_corpus(other))
-            secondary = {
-                "corpus": other,
-                "device_MBps": round(o_mbps, 1),
-                "device_mpixels_per_s": round(o_mpixps, 1),
-                "bits_per_px": round(o_bits, 2),
-            }
+            try:
+                o_mbps, o_mpixps, o_bits = measure_device_retry(
+                    make_corpus(other)
+                )
+                secondary = {
+                    "corpus": other,
+                    "device_MBps": round(o_mbps, 1),
+                    "device_mpixels_per_s": round(o_mpixps, 1),
+                    "bits_per_px": round(o_bits, 2),
+                }
+            except Exception as e:  # secondary must not kill the record
+                secondary = {"corpus": other, "error": repr(e)}
 
     dec = BatchDecoder(
         backend=args.backend, chunk_size=args.chunk_e2e, strict=False
