@@ -294,7 +294,7 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
 
 
 def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None,
-                      steps_map=None, collect=False):
+                      steps_map=None, slots_map=None, collect=False):
     """Dispatch every staged chunk back-to-back, ONE fence for the batch.
 
     Returns the fence scalar (device).  Callers assert it stays below
@@ -315,6 +315,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None,
     from tpujpeg.runtime import fused
 
     steps_map = steps_map or {}
+    slots_map = slots_map or {}
     fences = []
 
     def fence(rgb, err_mal, err_env):
@@ -339,6 +340,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None,
 
     for i, (kind, uploaded, q_d, plan, part) in enumerate(chunks):
         steps = steps_map.get(i, fsm.STEPS_PRODUCTION)
+        slot_i = slots_map.get(i, slot_c)
         if kind == "spec":
             # no-restart streams: stitch-sync speculative decode through
             # the fused tail (assemble+gather+pixels, one program);
@@ -347,7 +349,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None,
                 rgb, _risk, _c, _dc, err, err_slot = (
                     fused.decode_spec_sync_fused(
                         pendings[i], geom, q_d, chunk, len(part),
-                        want_coeffs=False, slots=slot_c,
+                        want_coeffs=False, slots=slot_i,
                     )
                 )
                 fence(rgb, err, err | err_slot)
@@ -363,7 +365,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None,
             rgb, _risk, _c, _dc, err_mal, err_env, err_slot, _st = (
                 fused.decode_superchunk(
                     plan, q_d, geom, chunk, uploaded=uploaded,
-                    want_coeffs=False, slots=slot_c, steps=steps,
+                    want_coeffs=False, slots=slot_i, steps=steps,
                 )
             )
             fence(rgb, err_mal, err_env | err_slot)
@@ -373,7 +375,7 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None,
             rgb, _risk, _c, _dc, err_mal, err_env, err_slot, _st = (
                 fused.decode_chunk_fused(
                     plan, q_d, geom, chunk, uploaded=uploaded,
-                    want_coeffs=False, slots=slot_c, steps=steps,
+                    want_coeffs=False, slots=slot_i, steps=steps,
                 )
             )
             fence(rgb, err_mal, err_env | err_slot)
@@ -393,15 +395,15 @@ def probe_chunk_steps(chunks, pixel_fn, geom, chunk: int, slot_c=None):
 
     from tpujpeg.ops import fsm
 
-    steps_map = {}
-    for attempt in range(3):
+    steps_map, slots_map = {}, {}
+    for attempt in range(4):
         try:
             flags = [
                 int(x) >> 24
                 for x in np_.asarray(jax.device_get(jnp_stack(
                     run_device_chunks(chunks, pixel_fn, geom, chunk,
                                       slot_c=slot_c, steps_map=steps_map,
-                                      collect=True)
+                                      slots_map=slots_map, collect=True)
                 )))
             ]
         except fsm.SpecEnvelopeError:
@@ -413,14 +415,20 @@ def probe_chunk_steps(chunks, pixel_fn, geom, chunk: int, slot_c=None):
             continue
         bad = [i for i, f in enumerate(flags) if f]
         if not bad:
-            return steps_map
+            return steps_map, slots_map
         for i in bad:
-            if steps_map.get(i) == fsm.STEPS_SAFE:
+            # ladder mirrors the engine: STEPS_SAFE first, then classic
+            # materialize (a residual slot overflow), then give up
+            if steps_map.get(i) != fsm.STEPS_SAFE:
+                steps_map[i] = fsm.STEPS_SAFE
+            elif slots_map.get(i) is not False:
+                slots_map[i] = False
+            else:
                 raise AssertionError(
-                    f"chunk {i}: error lanes persist at STEPS_SAFE"
+                    f"chunk {i}: error lanes persist at STEPS_SAFE "
+                    "with classic materialize"
                 )
-            steps_map[i] = fsm.STEPS_SAFE
-    return steps_map
+    return steps_map, slots_map
 
 
 def jnp_stack(xs):
@@ -520,20 +528,24 @@ def main():
             nz = np_.concatenate([
                 (_host.entropy_decode(im) != 0).sum(1) for im in imgs
             ])
-            slot_c = _mat.suggest_slot_c(nz)
+            # restart lanes are group-aligned; speculative lanes start at
+            # arbitrary blocks -> alignment-free (sliding-window) bound
+            slot_c = _mat.suggest_slot_c(
+                nz, aligned=args.rst_rows > 0
+            ) or False
         chunks, pixel_fn, geom = stage_device_chunks(
             imgs, args.chunk, superchunk=args.superchunk
         )
         # warm + compile + the engine's K-retry ladder: chunks with lanes
         # denser than the production step budget time at STEPS_SAFE
-        steps_map = probe_chunk_steps(
+        steps_map, slots_map = probe_chunk_steps(
             chunks, pixel_fn, geom, args.chunk, slot_c=slot_c
         )
 
         def run_device():
             return run_device_chunks(
                 chunks, pixel_fn, geom, args.chunk, slot_c=slot_c,
-                steps_map=steps_map,
+                steps_map=steps_map, slots_map=slots_map,
             )
 
         warm = int(np_.asarray(jax.device_get(run_device())))

@@ -658,27 +658,45 @@ _SLOT_C = int(os.environ.get("TPUJPEG_SLOT_C", "256"))
 _SLOT_G = int(os.environ.get("TPUJPEG_SLOT_G", "8"))
 
 
-def suggest_slot_c(nonzero_per_block, G: int | None = None) -> int:
+def suggest_slot_c(nonzero_per_block, G: int | None = None,
+                   aligned: bool = True) -> int:
     """Content-adaptive slot capacity from a host-side corpus sample.
 
     nonzero_per_block: int array of per-block nonzero-coefficient counts
     (oracle.entropy_decode output; counting DC unconditionally is a safe
     overestimate of emitted events).  Returns the smallest power-of-two
-    C in [64, 256] covering the sampled max group load — the pow2
-    ceiling supplies the safety margin, and the err_slot retry ladder
-    covers the residual (an unsampled denser image re-decodes its chunk
-    at the classic path).
+    C in [64, 256] covering the sampled max group load, or 0 when even
+    C=256 cannot (callers disable slots).  The pow2 ceiling supplies the
+    safety margin, and the err_slot retry ladder covers the residual.
+
+    aligned: restart lanes start at segment boundaries (block index 0
+    mod a whole MCU row), so their slot groups align with the image's
+    8-block grid — use the aligned group sums.  SPECULATIVE lanes start
+    at arbitrary blocks (a lane's local block 0 is wherever its
+    predecessor ended), so their groups are arbitrary G-block windows:
+    aligned=False bounds with the max SLIDING-window sum instead (the
+    spec photo bench latched err_slot at C=256 from exactly this
+    aliasing — aligned gmax 252, unaligned above 256).
     """
     import numpy as np
 
     G = _SLOT_G if G is None else G
     nz = np.asarray(nonzero_per_block)
-    m = (len(nz) // G) * G
-    gmax = int(nz[:m].reshape(-1, G).sum(1).max()) if m else int(nz.sum())
+    if aligned:
+        m = (len(nz) // G) * G
+        gmax = (
+            int(nz[:m].reshape(-1, G).sum(1).max()) if m else int(nz.sum())
+        )
+    else:
+        if len(nz) < G:
+            gmax = int(nz.sum())
+        else:
+            cs = np.concatenate([[0], np.cumsum(nz)])
+            gmax = int((cs[G:] - cs[:-G]).max())
     c = 64
     while c < gmax:
         c *= 2
-    return min(max(c, 64), 256)
+    return c if c <= 256 else 0
 
 
 def _use_pallas_slots(N: int, M: int, L: int, C: int | None = None) -> bool:

@@ -543,7 +543,9 @@ class BatchDecoder:
                                 jnp.asarray(self._quant_block(chunk, B)),
                                 B, len(chunk.imgs), self.fancy,
                                 want_coeffs=self.strict,
-                                slots=self._slot_capacity(chunk),
+                                slots=self._slot_capacity(
+                                    chunk, aligned=False
+                                ),
                             )
                         )
                         chunk.out = (rgb, risk, None)
@@ -611,18 +613,21 @@ class BatchDecoder:
         chunk.fence = _pack_fence(chunk.out[0], err_mal, err_env)
         return True
 
-    def _slot_capacity(self, chunk: _Chunk):
+    def _slot_capacity(self, chunk: _Chunk, aligned: bool = True):
         """Content-adaptive slot-spread capacity (materialize.suggest_
         slot_c) from a one-image host sample, cached per decoder.
 
-        Returns False (classic) for retry chunks, an int C for the fused
+        Returns False (classic) for retry chunks or corpora whose
+        sampled load exceeds every capacity, an int C for the fused
         decoders, or None for the env default when no host decoder is
-        available to sample with.  A slot-overflow retry bumps the
-        cached capacity for all later chunks (_finish)."""
+        available to sample with.  aligned=False for speculative
+        chunks, whose lanes start at arbitrary blocks (sliding-window
+        bound).  A slot-overflow retry bumps the cached capacity for
+        all later chunks (_finish)."""
         if chunk.slots_off:
             return False
         if self._slot_c is None:
-            self._slot_c = 0  # sampled-but-unknown -> env default
+            self._slot_c = {}
             try:
                 from . import host
 
@@ -630,10 +635,16 @@ class BatchDecoder:
                     from ..ops import materialize
 
                     nz = (host.entropy_decode(chunk.imgs[0]) != 0).sum(1)
-                    self._slot_c = materialize.suggest_slot_c(nz)
+                    for al in (True, False):
+                        self._slot_c[al] = materialize.suggest_slot_c(
+                            nz, aligned=al
+                        )
             except Exception:  # sampling must never break decode
-                pass
-        return self._slot_c or None
+                self._slot_c = {}
+        c = self._slot_c.get(aligned)
+        if c == 0:
+            return False  # even C=256 cannot cover the sampled load
+        return c or None
 
     def _prefers_fsm(self) -> bool:
         """Whether this decoder routes chunks to the device FSM first."""
@@ -993,10 +1004,14 @@ class BatchDecoder:
                     # materialize — same device ladder, one extra dispatch
                     chunk.slots_off = True
                     n_slot += 1
-                    if self._slot_c and self._slot_c < 256:
+                    if isinstance(self._slot_c, dict):
                         # the sample under-read the corpus: serve later
-                        # chunks at the next capacity up
-                        self._slot_c *= 2
+                        # chunks at the next capacity up (or classic)
+                        for al, c in list(self._slot_c.items()):
+                            if c:
+                                self._slot_c[al] = (
+                                    c * 2 if c < 256 else 0
+                                )
                     if chunk.backend.startswith("fsm-spec"):
                         retried = self._process_chunk_spec(chunk)
                     else:
