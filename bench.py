@@ -177,7 +177,8 @@ def _encode(arr: np.ndarray, quality: int, rst_rows: int) -> bytes:
     return buf.getvalue()
 
 
-def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
+def stage_device_chunks(imgs, chunk: int, superchunk: int = 4,
+                        slot_needs=None):
     """Pack + stage a batch's chunks on device (kernel-only methodology).
 
     Returns (chunks, pixel_fn, geom): per chunk, scan bytes and quant
@@ -205,9 +206,30 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
     from tpujpeg.parallel import sharding as _sharding
 
     geom = Geometry.of(imgs[0])
-    imgs = sorted(imgs, key=_stride_key)
+    if slot_needs is not None:
+        # density-sorted chunking: group images by their slot-capacity
+        # need FIRST (then stride), so sparse chunks serve at the small
+        # capacity instead of the corpus-max — per-chunk C rides each
+        # chunk entry and run_device_chunks' slots_map.  Same bucketing
+        # idea the engine applies to geometry; need=0 means "no capacity
+        # covers" (chunk runs the classic materialize).
+        order = sorted(
+            range(len(imgs)),
+            key=lambda i: (slot_needs[i] or 512, _stride_key(imgs[i])),
+        )
+        needs = [slot_needs[i] for i in order]
+        imgs = [imgs[i] for i in order]
+    else:
+        needs = None
+        imgs = sorted(imgs, key=_stride_key)
     chunks = []
-    pend_plans, pend_quants, pend_parts = [], [], []
+    pend_plans, pend_quants, pend_parts, pend_caps = [], [], [], []
+
+    def chunk_cap(caps):
+        flat = [c for cs in caps for c in (cs if isinstance(cs, list) else [cs])]
+        if needs is None or not flat:
+            return None
+        return False if any(c == 0 for c in flat) else max(flat)
 
     def flush_super():
         if not pend_plans:
@@ -221,6 +243,7 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
                 jax.device_put(jnp.asarray(pend_quants[0])),
                 pend_plans[0],
                 pend_parts[0],
+                chunk_cap(pend_caps),
             ))
         else:
             xs, sn, _sub = fused.pack_superchunk(pend_plans)
@@ -231,13 +254,16 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
                 jax.device_put(jnp.asarray(np.stack(pend_quants))),
                 list(pend_plans),
                 list(pend_parts),
+                chunk_cap(pend_caps),
             ))
         pend_plans.clear()
         pend_quants.clear()
         pend_parts.clear()
+        pend_caps.clear()
 
     for j in range(0, len(imgs), chunk):
         part = imgs[j : j + chunk]
+        part_caps = needs[j : j + chunk] if needs is not None else []
         quant = np.stack(
             [
                 np.stack([im.quant_tables[c.quant_id] for c in im.components])
@@ -262,11 +288,13 @@ def stage_device_chunks(imgs, chunk: int, superchunk: int = 4):
                 jax.device_put(jnp.asarray(quant)),
                 splan,
                 part,
+                chunk_cap([part_caps]),
             ))
             continue
         pend_plans.append(plan)
         pend_quants.append(quant)
         pend_parts.append(part)
+        pend_caps.append(list(part_caps))
         if len(pend_plans) == max(1, superchunk):
             flush_super()
     flush_super()
@@ -331,16 +359,18 @@ def run_device_chunks(chunks, pixel_fn, geom, chunk: int, slot_c=None,
     # (~30 ms/chunk of tunnel latency otherwise)
     pendings = {
         i: fsm.spec_sync_start(
-            part, plan=plan, xs_dev=uploaded[0],
+            entry[4], plan=entry[3], xs_dev=entry[1][0],
             steps=steps_map.get(i, fsm.STEPS_PRODUCTION),
         )
-        for i, (kind, uploaded, _q, plan, part) in enumerate(chunks)
-        if kind == "spec"
+        for i, entry in enumerate(chunks)
+        if entry[0] == "spec"
     }
 
-    for i, (kind, uploaded, q_d, plan, part) in enumerate(chunks):
+    for i, entry in enumerate(chunks):
+        kind, uploaded, q_d, plan, part = entry[:5]
+        cap = entry[5] if len(entry) > 5 else None
         steps = steps_map.get(i, fsm.STEPS_PRODUCTION)
-        slot_i = slots_map.get(i, slot_c)
+        slot_i = slots_map.get(i, cap if cap is not None else slot_c)
         if kind == "spec":
             # no-restart streams: stitch-sync speculative decode through
             # the fused tail (assemble+gather+pixels, one program);
@@ -518,33 +548,36 @@ def main():
         from tpujpeg.runtime import host as _host
 
         imgs = [parse(d) for d in jpegs]
-        # content-adaptive slot capacity from an EXACT whole-corpus host
-        # scan (native entropy decode ~1 ms/image; the first photo-corpus
-        # run proved a 2-image sample under-reads mosaic corpora and a
-        # latched err_slot fails the fence assert — the bench device loop
-        # has no retry ladder, so the pick must be exact here)
-        slot_c = None
+        # content-adaptive PER-IMAGE slot capacity from an EXACT host
+        # scan (native entropy decode ~1 ms/image; a sampled global pick
+        # both under-reads mosaic corpora — latched err_slot — and
+        # over-serves sparse ones: the synthetic corpus max is 143 while
+        # half its images fit C=128).  stage_device_chunks groups images
+        # by need so sparse chunks serve at the small capacity; restart
+        # lanes are group-aligned, speculative lanes start at arbitrary
+        # blocks -> alignment-free sliding bound.
+        slot_needs = None
         if _host._load_native() is not None:
-            nz = np_.concatenate([
-                (_host.entropy_decode(im) != 0).sum(1) for im in imgs
-            ])
-            # restart lanes are group-aligned; speculative lanes start at
-            # arbitrary blocks -> alignment-free (sliding-window) bound
-            slot_c = _mat.suggest_slot_c(
-                nz, aligned=args.rst_rows > 0
-            ) or False
+            aligned = args.rst_rows > 0
+            slot_needs = [
+                _mat.suggest_slot_c(
+                    (_host.entropy_decode(im) != 0).sum(1), aligned=aligned
+                )
+                for im in imgs
+            ]
         chunks, pixel_fn, geom = stage_device_chunks(
-            imgs, args.chunk, superchunk=args.superchunk
+            imgs, args.chunk, superchunk=args.superchunk,
+            slot_needs=slot_needs,
         )
         # warm + compile + the engine's K-retry ladder: chunks with lanes
         # denser than the production step budget time at STEPS_SAFE
         steps_map, slots_map = probe_chunk_steps(
-            chunks, pixel_fn, geom, args.chunk, slot_c=slot_c
+            chunks, pixel_fn, geom, args.chunk
         )
 
         def run_device():
             return run_device_chunks(
-                chunks, pixel_fn, geom, args.chunk, slot_c=slot_c,
+                chunks, pixel_fn, geom, args.chunk,
                 steps_map=steps_map, slots_map=slots_map,
             )
 
