@@ -646,13 +646,18 @@ def _compact_to_rank(ev: jnp.ndarray, *, interpret: bool = False,
 # every block has <= 64 events; entries never leave their group's span,
 # so groups cannot collide).
 #
-# Capacity: measured corpora (tools note in PERFORMANCE.md r5) show max
-# events per 8-block group of 112 (synthetic q90) / 225 (worst real
-# photo fixture at q90 4:4:4) — C=256 has zero overflow on everything
-# measured.  Overflow is still handled exactly: the unpack kernel
-# latches a per-lane flag (boundary out of window, or rank_in_group >=
-# C) and the batch engine re-decodes the chunk through the classic v3
-# path, mirroring the STEPS_SAFE retry ladder.
+# Capacity is CONTENT-ADAPTIVE (suggest_slot_c): callers scan a host
+# sample (or the whole corpus, ~1 ms/image via the native decoder) and
+# pick the smallest pow2 C in [64, 256] covering the max group load —
+# aligned group sums for restart lanes (segment starts are whole MCU
+# rows, so groups align), the max SLIDING G-block window for
+# speculative lanes (which start at arbitrary blocks).  Measured at
+# q90: whole-corpus aligned maxima of 143 (synthetic) / 252 (photo
+# mosaics), with wide per-image variance — bench.py sorts images by
+# need so sparse chunks serve at C=128.  Overflow is handled exactly
+# either way: the unpack kernel latches a per-lane flag (boundary out
+# of window, or rank_in_group >= C) and the batch engine re-decodes the
+# chunk through the classic v3 path, mirroring the STEPS_SAFE ladder.
 
 _SLOT_C = int(os.environ.get("TPUJPEG_SLOT_C", "256"))
 _SLOT_G = int(os.environ.get("TPUJPEG_SLOT_G", "8"))
