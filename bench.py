@@ -425,12 +425,14 @@ def probe_chunk_steps(chunks, pixel_fn, geom, chunk: int, slot_c=None):
 
     from tpujpeg.ops import fsm
 
+    import jax.numpy as jnp
+
     steps_map, slots_map = {}, {}
     for attempt in range(4):
         try:
             flags = [
                 int(x) >> 24
-                for x in np_.asarray(jax.device_get(jnp_stack(
+                for x in np_.asarray(jax.device_get(jnp.stack(
                     run_device_chunks(chunks, pixel_fn, geom, chunk,
                                       slot_c=slot_c, steps_map=steps_map,
                                       slots_map=slots_map, collect=True)
@@ -459,12 +461,6 @@ def probe_chunk_steps(chunks, pixel_fn, geom, chunk: int, slot_c=None):
                     "with classic materialize"
                 )
     return steps_map, slots_map
-
-
-def jnp_stack(xs):
-    import jax.numpy as jnp
-
-    return jnp.stack(xs)
 
 
 def main():

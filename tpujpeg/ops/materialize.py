@@ -610,8 +610,6 @@ def _compact_to_rank(ev: jnp.ndarray, *, interpret: bool = False,
         o = jnp.where(move, so - jnp.int16(d), jnp.where(stay, o, jnp.int16(-1)))
         d *= 2
 
-    if stop_after == "compact":
-        return p, o
     return p, o
 
 
